@@ -1,0 +1,291 @@
+"""Public matmul API: dispatch, padding/masking policy, and autodiff.
+
+This is the framework's top-level compute entry point — the analogue of the
+reference's single ``extern "C"`` kernel entry
+``MatrixMultiplicationKernel(a, b, c[, n, k, m])``
+(``include/MatrixMultiplication.h:155-171``, ``kernel/Top.cpp:7-18``),
+generalized the JAX way: a pure, jittable, differentiable function.
+
+Dispatch:
+
+* ``plus_times`` semiring + Pallas backend  -> MXU kernel (``pallas_mxu``).
+* any other semiring + Pallas backend       -> VPU kernel (``pallas_vpu``).
+* ``backend="xla"``                          -> lax.dot_general (plus_times)
+  or a blocked map/reduce sweep (generic semirings) — the device-side
+  "Naive" oracle, analogue of ``include/Utility.h:18-42``.
+* float64 on real TPU                        -> XLA backend (Mosaic has no
+  f64; XLA emulates it — the reference's double-precision configuration).
+
+Shape policy (reference ``MM_DYNAMIC_SIZES`` masking,
+``kernel/Compute.cpp:112-137``): with ``pad_policy="pad"`` operands are
+zero-padded up to block multiples; the MXU semiring is exact under zero
+K-padding, the VPU kernel masks the K tail to the reduce identity in-kernel,
+and M/N overhang is sliced off the output.  ``pad_policy="strict"`` rejects
+unaligned shapes like the reference's static-size build.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gemm_hls_tpu.config import GemmConfig, default_config
+from gemm_hls_tpu.ops.semiring import Semiring, get_semiring
+from gemm_hls_tpu.ops import pallas_mxu, pallas_vpu
+from gemm_hls_tpu.ops.pallas_vpu import fold_axis
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _resolve_interpret(cfg: GemmConfig) -> bool:
+    if cfg.interpret is not None:
+        return cfg.interpret
+    return not _on_tpu()
+
+
+def _pad2(x, r0: int, r1: int):
+    if r0 == x.shape[0] and r1 == x.shape[1]:
+        return x
+    return jnp.pad(x, ((0, r0 - x.shape[0]), (0, r1 - x.shape[1])))
+
+
+# ---------------------------------------------------------------------------
+# MXU path with custom VJP (dA = g . op(B)^T, dB = op(A)^T . g, expressed as
+# further CA-GEMM calls with flipped transpose flags — no materialized
+# transposes).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mxu_padded(a, b, cfg: GemmConfig):
+    return _mxu_padded_fwd_impl(a, b, cfg)
+
+
+def _mxu_padded_fwd_impl(a, b, cfg: GemmConfig):
+    interpret = _resolve_interpret(cfg)
+    ta, tb = cfg.transpose_a, cfg.transpose_b
+    m, k = (a.shape[1], a.shape[0]) if ta else a.shape
+    n = b.shape[0] if tb else b.shape[1]
+    mp, np_, kp = cfg.padded_shape(m, n, k)
+    a_p = _pad2(a, kp, mp) if ta else _pad2(a, mp, kp)
+    b_p = _pad2(b, np_, kp) if tb else _pad2(b, kp, np_)
+    out = pallas_mxu.mxu_matmul(
+        a_p, b_p, cfg=cfg, transpose_a=ta, transpose_b=tb, interpret=interpret
+    )
+    return out[:m, :n]
+
+
+def _mxu_fwd(a, b, cfg):
+    return _mxu_padded(a, b, cfg), (a, b)
+
+
+def _mxu_bwd(cfg, res, g):
+    a, b = res
+    ta, tb = cfg.transpose_a, cfg.transpose_b
+    g = g.astype(cfg.jacc_dtype)
+
+    def run(x, y, tx, ty, out_shape, out_dtype):
+        c = cfg.replace(transpose_a=tx, transpose_b=ty,
+                        out_dtype=str(np.dtype(out_dtype)))
+        return _mxu_padded(x, y, c)
+
+    # See derivation in docstring of this module: with op_t the optional
+    # transpose, C = op(A).op(B); physical grads follow by flag algebra.
+    if not ta:
+        da = run(g, b, False, not tb, a.shape, a.dtype)      # g . op(B)^T
+    else:
+        da = run(b, g, tb, True, a.shape, a.dtype)           # op(B) . g^T
+    if not tb:
+        db = run(a, g, not ta, False, b.shape, b.dtype)      # op(A)^T . g
+    else:
+        db = run(g, a, True, ta, b.shape, b.dtype)           # g^T . op(A)
+    return da.astype(a.dtype), db.astype(b.dtype)
+
+
+_mxu_padded.defvjp(_mxu_fwd, _mxu_bwd)
+
+
+# ---------------------------------------------------------------------------
+# XLA backend (device-side Naive oracle / f64 path)
+# ---------------------------------------------------------------------------
+
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _xla_matmul(a, b, cfg: GemmConfig, sr: Semiring):
+    ta, tb = cfg.transpose_a, cfg.transpose_b
+    if sr.is_mxu:
+        dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+        out = jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            preferred_element_type=cfg.jacc_dtype,
+            precision=_PRECISION[cfg.precision],
+        )
+        return out.astype(cfg.jout_dtype)
+
+    # Generic semiring: blocked K-sweep, scan-carried accumulator.  Memory
+    # footprint M*ck*N per step (ck = 8).
+    a_l = a.T if ta else a
+    b_l = b.T if tb else b
+    m, k = a_l.shape
+    n = b_l.shape[1]
+    acc_dtype = cfg.jacc_dtype
+    ident = sr.identity_for(acc_dtype)
+    ck = 8
+    kp = -(-k // ck) * ck
+    a_p = jnp.pad(a_l, ((0, 0), (0, kp - k))).astype(acc_dtype)
+    b_p = jnp.pad(b_l, ((0, kp - k), (0, 0))).astype(acc_dtype)
+    if kp != k:
+        mask = (jnp.arange(kp) < k)
+        a_chunks = a_p.reshape(m, kp // ck, ck).transpose(1, 0, 2)
+        m_chunks = mask.reshape(kp // ck, 1, ck, 1)
+    else:
+        a_chunks = a_p.reshape(m, kp // ck, ck).transpose(1, 0, 2)
+        m_chunks = None
+    b_chunks = b_p.reshape(kp // ck, ck, n)
+
+    def step(acc, operands):
+        if m_chunks is None:
+            a_c, b_c = operands
+            mapped = sr.map_op(a_c[:, :, None], b_c[None, :, :])
+        else:
+            a_c, b_c, msk = operands
+            mapped = sr.map_op(a_c[:, :, None], b_c[None, :, :])
+            mapped = jnp.where(msk, mapped, jnp.asarray(ident, acc_dtype))
+        return sr.reduce_op(acc, fold_axis(mapped, sr.reduce_op, 1)), None
+
+    init = jnp.full((m, n), ident, acc_dtype)
+    xs = (a_chunks, b_chunks) if m_chunks is None else (a_chunks, b_chunks, m_chunks)
+    acc, _ = jax.lax.scan(step, init, xs)
+    return acc.astype(cfg.jout_dtype)
+
+
+# ---------------------------------------------------------------------------
+# VPU path wrapper (padding + slicing around the Pallas kernel)
+# ---------------------------------------------------------------------------
+
+def _vpu_dispatch(a, b, cfg: GemmConfig, sr: Semiring):
+    interpret = _resolve_interpret(cfg)
+    a_l = a.T if cfg.transpose_a else a
+    b_l = b.T if cfg.transpose_b else b
+    m, k = a_l.shape
+    n = b_l.shape[1]
+
+    cast_bool = a_l.dtype == jnp.bool_
+    if cast_bool:
+        # Boolean semirings ride int32 lanes on device: and -> min, or -> max
+        # over {0,1}; the registry keeps the logical ops for the oracle.
+        a_l, b_l = a_l.astype(jnp.int32), b_l.astype(jnp.int32)
+        sr = Semiring(name=sr.name + "_int", map_op=jnp.minimum,
+                      reduce_op=jnp.maximum, identity=0,
+                      np_map=np.minimum, np_reduce=np.maximum)
+        cfg = cfg.replace(dtype="int32", out_dtype="int32", acc_dtype="int32")
+
+    mp, np_, kp = cfg.padded_shape(m, n, k)
+    out = pallas_vpu.vpu_matmul(
+        _pad2(a_l, mp, kp), _pad2(b_l, kp, np_),
+        cfg=cfg, sr=sr, k_actual=k, interpret=interpret,
+    )[:m, :n]
+    return out != 0 if cast_bool else out
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def matmul(
+    a,
+    b,
+    *,
+    semiring="plus_times",
+    config: Optional[GemmConfig] = None,
+    transpose_a: Optional[bool] = None,
+    transpose_b: Optional[bool] = None,
+    out_dtype=None,
+    backend: Optional[str] = None,
+    interpret: Optional[bool] = None,
+    precision: Optional[str] = None,
+):
+    """Communication-avoiding semiring matmul: C = reduce_k map(op(A), op(B)).
+
+    Args:
+      a: (M, K) array — or (K, M) with ``transpose_a`` (contraction over the
+        leading axis; reference ``MM_TRANSPOSED_A``).
+      b: (K, N) array — or (N, K) with ``transpose_b``.
+      semiring: registry name or :class:`Semiring` (reference
+        ``MM_MAP_OP``/``MM_REDUCE_OP``).
+      config: a :class:`GemmConfig`; defaults to :func:`default_config` for
+        the input dtype.
+      backend: "pallas" (default on TPU; interpreter off-TPU), or "xla".
+      interpret: force Pallas interpreter mode.
+      precision: MXU precision override for float32 ("default"|"high"|"highest").
+
+    Returns (M, N) in ``config.out_dtype``.
+    """
+    sr = get_semiring(semiring)
+    if a.ndim != 2 or b.ndim != 2:
+        raise ValueError(f"matmul expects 2-D operands, got {a.shape}, {b.shape}")
+    if config is None:
+        config = default_config(str(a.dtype), semiring=sr.name)
+    overrides = {}
+    if transpose_a is not None:
+        overrides["transpose_a"] = transpose_a
+    if transpose_b is not None:
+        overrides["transpose_b"] = transpose_b
+    if out_dtype is not None:
+        overrides["out_dtype"] = str(jnp.dtype(out_dtype))
+    if interpret is not None:
+        overrides["interpret"] = interpret
+    if precision is not None:
+        overrides["precision"] = precision
+    if str(a.dtype) != config.dtype:
+        overrides["dtype"] = str(a.dtype)
+    if config.semiring != sr.name:
+        overrides["semiring"] = sr.name
+    if overrides:
+        config = config.replace(**overrides)
+
+    ka = a.shape[0] if config.transpose_a else a.shape[1]
+    kb = b.shape[1] if config.transpose_b else b.shape[0]
+    if ka != kb:
+        raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
+    if a.dtype != b.dtype:
+        raise ValueError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
+    if not sr.supports_dtype(a.dtype) and a.dtype != jnp.bool_:
+        raise ValueError(f"semiring {sr.name} does not support dtype {a.dtype}")
+
+    if backend is None:
+        backend = "pallas"
+        if np.dtype(config.dtype) == np.float64 and _on_tpu():
+            backend = "xla"  # Mosaic has no f64; XLA emulates it on TPU.
+        if a.dtype == jnp.bool_ and sr.is_mxu:
+            backend = "xla"
+
+    interp = _resolve_interpret(config)
+    config.validate(strict_alignment=(backend == "pallas" and not interp))
+
+    if config.pad_policy == "strict":
+        m = a.shape[1] if config.transpose_a else a.shape[0]
+        n = b.shape[0] if config.transpose_b else b.shape[1]
+        if (m % config.block_m or n % config.block_n or ka % config.block_k):
+            raise ValueError(
+                f"pad_policy='strict': shape ({m},{n},{ka}) not divisible by "
+                f"blocks ({config.block_m},{config.block_n},{config.block_k})"
+            )
+
+    if backend == "xla":
+        return _xla_matmul(a, b, config, sr)
+    if backend != "pallas":
+        raise ValueError(f"unknown backend {backend!r}")
+    if sr.is_mxu:
+        return _mxu_padded(a, b, config)
+    return _vpu_dispatch(a, b, config, sr)

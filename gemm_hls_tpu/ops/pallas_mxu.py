@@ -1,0 +1,158 @@
+"""MXU-path Pallas GEMM kernel — the systolic-array core.
+
+TPU-native re-design of the reference's linear systolic PE array
+(``kernel/Compute.cpp:11-231``) and its streaming memory subsystem
+(``kernel/Memory.cpp``):
+
+* The chain of ``MM_PARALLELISM_N`` processing elements computing
+  outer-product updates becomes the 128x128 MXU, driven by
+  ``jax.lax.dot_general`` on VMEM-resident blocks.
+* The PE's ``cBuffer`` partial-tile fast memory (``Compute.cpp:26``) becomes
+  a float32 VMEM accumulator scratch that stays stationary while K streams.
+* The seven concurrently-running dataflow stream stages (``kernel/Top.cpp:24``)
+  and the PE's A double-buffer (``Compute.cpp:19-26``) become the Mosaic
+  pipeline: BlockSpec-described HBM->VMEM transfers are automatically
+  multi-buffered and overlapped with MXU work across grid steps.
+* The communication-avoiding schedule is identical: C tiles are stationary
+  in fast memory, K is streamed innermost, and HBM traffic is
+  ``M*N*(1 + K/block_n + K/block_m)`` words
+  (``src/PrintSpecifications.cpp:72-75``).
+
+Operand transposes are handled by BlockSpec index maps + dot_general
+dimension numbers (no materialized transpose) — the analogue of the
+reference's ``MM_TRANSPOSED_A`` pre-transposed read path
+(``kernel/Memory.cpp:205-261``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gemm_hls_tpu.config import GemmConfig
+
+# Mosaic supports only DEFAULT and HIGHEST contract precisions, and HIGHEST
+# is undefined for sub-fp32 inputs (the bf16 MXU pass is already exact for
+# bf16 operands with an fp32 accumulator).
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGHEST,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _resolve_precision(cfg: GemmConfig):
+    d = jnp.dtype(cfg.dtype)
+    if not jnp.issubdtype(d, jnp.floating) or d.itemsize < 4:
+        return jax.lax.Precision.DEFAULT
+    return _PRECISION[cfg.precision]
+
+
+def _kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, dims, precision, out_dtype):
+    """One (block_m x block_n) C tile, one K-chunk per invocation.
+
+    Grid is (m, n, k) with k innermost ("arbitrary"); the accumulator
+    carries across the k steps — the analogue of the PE's n0/m0/k loop nest
+    holding cBuffer stationary (``kernel/Compute.cpp:53-149``).
+    """
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:],
+        b_ref[:],
+        dimension_numbers=(dims, ((), ())),
+        preferred_element_type=acc_ref.dtype,
+        precision=precision,
+    )
+
+    @pl.when(pl.program_id(2) == n_k_grid - 1)
+    def _store():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "transpose_a", "transpose_b", "interpret")
+)
+def mxu_matmul(a, b, *, cfg: GemmConfig, transpose_a=False, transpose_b=False,
+               interpret=False):
+    """Padded/aligned plus-times matmul on the MXU.
+
+    Args:
+      a: (M, K) — or (K, M) when ``transpose_a`` (contraction over dim 0).
+      b: (K, N) — or (N, K) when ``transpose_b`` (contraction over dim 1).
+    Shapes must already be multiples of the block sizes (``ops/matmul.py``
+    owns padding/masking policy).
+
+    Returns (M, N) in ``cfg.out_dtype``.
+    """
+    bm, bn, bk = cfg.block_m, cfg.block_n, cfg.block_k
+    if transpose_a:
+        k_dim, m = a.shape
+        a_block, a_index = (bk, bm), (lambda i, j, k: (k, i))
+        a_contract = 0
+    else:
+        m, k_dim = a.shape
+        a_block, a_index = (bm, bk), (lambda i, j, k: (i, k))
+        a_contract = 1
+    if transpose_b:
+        n, kb = b.shape
+        b_block, b_index = (bn, bk), (lambda i, j, k: (j, k))
+        b_contract = 1
+    else:
+        kb, n = b.shape
+        b_block, b_index = (bk, bn), (lambda i, j, k: (k, j))
+        b_contract = 0
+    if kb != k_dim:
+        raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
+    if m % bm or n % bn or k_dim % bk:
+        raise ValueError(
+            f"mxu_matmul requires pre-padded operands: ({m},{n},{k_dim}) "
+            f"vs blocks ({bm},{bn},{bk})"
+        )
+
+    grid = (m // bm, n // bn, k_dim // bk)
+    out_dtype = cfg.jout_dtype
+    acc_dtype = cfg.jacc_dtype
+
+    kernel = functools.partial(
+        _kernel,
+        n_k_grid=grid[2],
+        dims=((a_contract,), (b_contract,)),
+        precision=_resolve_precision(cfg),
+        out_dtype=out_dtype,
+    )
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * m * n * k_dim,
+            bytes_accessed=cfg.io_volume_bytes(m, n, k_dim),
+            transcendentals=0,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(a_block, a_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_block, b_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
+        interpret=interpret,
+        name=f"ca_gemm_mxu_{bm}x{bn}x{bk}",
+        **kwargs,
+    )(a, b)

@@ -1,0 +1,17 @@
+from gemm_hls_tpu.parallel.mesh import make_mesh, mesh_25d
+from gemm_hls_tpu.parallel.summa import (
+    summa_matmul, cannon_matmul, shard_operands_2d,
+)
+from gemm_hls_tpu.parallel.grid25d import matmul_25d, shard_operands_25d
+from gemm_hls_tpu.parallel.staging import streamed_matmul
+
+__all__ = [
+    "make_mesh",
+    "mesh_25d",
+    "summa_matmul",
+    "cannon_matmul",
+    "shard_operands_2d",
+    "matmul_25d",
+    "shard_operands_25d",
+    "streamed_matmul",
+]

@@ -1,0 +1,76 @@
+"""Out-of-HBM GEMM with host-DRAM tile staging.
+
+The reference streams outer tiles of C through on-chip BRAM while A/B slabs
+arrive in bursts from DDR (``kernel/Memory.cpp``) — fast memory holds one
+output tile, slow memory holds the problem.  One level up the hierarchy,
+this module does the same with HBM as the "fast" memory and host DRAM as
+the slow one: C is computed one host-tile at a time, A/B K-panels stream
+host->HBM, and JAX's async dispatch overlaps transfers with device compute
+(the double-buffering analogue of ``kernel/Compute.cpp:19-26``).
+
+I/O volume follows the same CA formula at this level:
+``M*N*(1 + K/tile_n + K/tile_m)`` words over PCIe/DCN
+(``src/PrintSpecifications.cpp:72-75``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gemm_hls_tpu.config import GemmConfig, default_config, cdiv
+from gemm_hls_tpu.ops.matmul import matmul
+from gemm_hls_tpu.ops.semiring import get_semiring
+
+
+def streamed_matmul(a: np.ndarray, b: np.ndarray, *, semiring="plus_times",
+                    config: Optional[GemmConfig] = None,
+                    tile_m: int = 8192, tile_n: int = 8192,
+                    tile_k: int = 8192, out_dtype=None,
+                    device=None) -> np.ndarray:
+    """C = A . B for problems larger than HBM; A, B, C live in host DRAM.
+
+    Args:
+      a: (M, K) numpy array on host.
+      b: (K, N) numpy array on host.
+      tile_m/tile_n/tile_k: host-tile sizes — the outer "memory tile" at the
+        HBM level (each (tile_m, tile_n) C tile stays resident on device
+        while K streams in tile_k panels).
+    """
+    sr = get_semiring(semiring)
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
+    if config is None:
+        config = default_config(str(a.dtype), semiring=sr.name)
+    acc_dtype = config.jacc_dtype
+    cfg_acc = config.replace(out_dtype=str(acc_dtype))
+    out_dt = np.dtype(out_dtype) if out_dtype is not None else np.asarray(
+        np.zeros(0, a.dtype)).dtype
+    device = device or jax.devices()[0]
+
+    ident = sr.identity_for(acc_dtype)
+    out = np.empty((m, n), dtype=out_dt)
+
+    kp = cdiv(k, tile_k)
+    for i0 in range(0, m, tile_m):
+        i1 = min(m, i0 + tile_m)
+        for j0 in range(0, n, tile_n):
+            j1 = min(n, j0 + tile_n)
+            acc = jnp.full((i1 - i0, j1 - j0), ident, acc_dtype)
+            acc = jax.device_put(acc, device)
+            for kk in range(kp):
+                k0, k1 = kk * tile_k, min(k, (kk + 1) * tile_k)
+                # Async host->HBM staging; dispatch overlaps with the
+                # previous panel's compute.
+                a_panel = jax.device_put(a[i0:i1, k0:k1], device)
+                b_panel = jax.device_put(b[k0:k1, j0:j1], device)
+                partial = matmul(a_panel, b_panel, semiring=sr, config=cfg_acc)
+                acc = sr.reduce_op(acc, partial)
+            out[i0:i1, j0:j1] = np.asarray(acc.astype(jnp.dtype(str(out_dt)))
+                                           if out_dt != acc.dtype else acc)
+    return out

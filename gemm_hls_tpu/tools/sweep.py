@@ -1,0 +1,208 @@
+"""Configuration sweep manager — the ``build_manager.py`` port.
+
+The reference scans cartesian products of CMake configurations, classifies
+per-config hardware build outcomes by regexing Vivado logs (feasibility /
+placement / routing / hold / timing / crash,
+``scripts/build_manager.py:351-396``), benchmarks survivors with
+timeout-and-retry (:611-669), and extracts results to CSV (:578-608).
+
+TPU translation: a "build" is an XLA/Mosaic compile of one
+:class:`GemmConfig` specialization, the failure taxonomy maps to
+
+* ``invalid_config``   — eager validation rejected it (CMake fatal error),
+* ``vmem_overflow``    — Mosaic/XLA RESOURCE_EXHAUSTED (placement failure),
+* ``compile_failed``   — Mosaic/lowering error (synthesis crash),
+* ``wrong_result``     — verification mismatch (hardware validation failure),
+* ``crashed``          — anything else,
+* ``ok``               — benchmarked, with seconds + GOp/s,
+
+and results serialize to the same kind of CSV.
+
+CLI:
+    python -m gemm_hls_tpu.tools.sweep --m 2048 --n 2048 --k 2048 \
+        --dtype float32 --block-m 256,512 --block-n 256,512 --block-k 256,512
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import io
+import itertools
+import time
+import traceback
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from gemm_hls_tpu.config import GemmConfig
+from gemm_hls_tpu.ops.semiring import get_semiring
+from gemm_hls_tpu.utils.benchmark import gflops, time_fn
+from gemm_hls_tpu.utils.verify import (
+    check_result, make_operands, reference_matmul,
+)
+
+
+@dataclasses.dataclass
+class SweepResult:
+    """One configuration's outcome — the ``Consumption`` row analogue
+    (``scripts/build_manager.py:210-213``)."""
+
+    config: GemmConfig
+    status: str
+    seconds: Optional[float] = None
+    gflops: Optional[float] = None
+    max_rel_err: Optional[float] = None
+    detail: str = ""
+
+    CSV_COLS = ("dtype", "semiring", "block_m", "block_n", "block_k",
+                "precision", "status", "seconds", "gflops", "max_rel_err",
+                "detail")
+
+    def csv_row(self) -> Dict:
+        return {
+            "dtype": self.config.dtype,
+            "semiring": self.config.semiring,
+            "block_m": self.config.block_m,
+            "block_n": self.config.block_n,
+            "block_k": self.config.block_k,
+            "precision": self.config.precision,
+            "status": self.status,
+            "seconds": f"{self.seconds:.6f}" if self.seconds else "",
+            "gflops": f"{self.gflops:.2f}" if self.gflops else "",
+            "max_rel_err": f"{self.max_rel_err:.3e}"
+                           if self.max_rel_err is not None else "",
+            "detail": self.detail[:200],
+        }
+
+
+def _classify_exception(e: BaseException) -> str:
+    text = f"{type(e).__name__}: {e}"
+    low = text.lower()
+    if "resource_exhausted" in low or "vmem" in low or "out of memory" in low:
+        return "vmem_overflow"
+    if "mosaic" in low or "lowering" in low or "unsupported" in low:
+        return "compile_failed"
+    return "crashed"
+
+
+def expand_grid(**axes: Sequence) -> List[Dict]:
+    """Cartesian product of configuration axes
+    (``build_manager.py:417-431`` analogue)."""
+    keys = list(axes)
+    return [dict(zip(keys, vals))
+            for vals in itertools.product(*(axes[k] for k in keys))]
+
+
+def run_one(cfg: GemmConfig, m: int, n: int, k: int, *, verify: bool = True,
+            iters: int = 5, backend: Optional[str] = None) -> SweepResult:
+    """Compile + verify + benchmark one configuration."""
+    import jax
+    import jax.numpy as jnp
+    from gemm_hls_tpu.ops.matmul import matmul
+
+    try:
+        cfg.validate()
+    except ValueError as e:
+        return SweepResult(cfg, "invalid_config", detail=str(e))
+
+    sr = get_semiring(cfg.semiring)
+    a, b = make_operands(m, n, k, cfg.dtype)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    fn = jax.jit(lambda x, y: matmul(x, y, semiring=sr, config=cfg,
+                                     backend=backend))
+    try:
+        out = fn(aj, bj)
+        jax.block_until_ready(out)
+    except Exception as e:  # noqa: BLE001 — taxonomy, like the log regexes
+        return SweepResult(cfg, _classify_exception(e),
+                           detail=traceback.format_exception_only(e)[-1].strip())
+
+    err = None
+    if verify:
+        exp = reference_matmul(a, b, semiring=sr.name)
+        ok, err = check_result(np.asarray(out), exp)
+        if not ok:
+            return SweepResult(cfg, "wrong_result", max_rel_err=err)
+
+    try:
+        secs = time_fn(fn, [(aj, bj)], iters=iters, warmup=1)
+    except Exception as e:  # noqa: BLE001
+        return SweepResult(cfg, "crashed",
+                           detail=traceback.format_exception_only(e)[-1].strip())
+    return SweepResult(cfg, "ok", seconds=secs, gflops=gflops(m, n, k, secs),
+                       max_rel_err=err)
+
+
+def sweep(grid: List[Dict], m: int, n: int, k: int, *, base: Optional[GemmConfig] = None,
+          verify: bool = True, iters: int = 5,
+          progress: bool = False) -> List[SweepResult]:
+    """Run every configuration in ``grid`` (dicts of GemmConfig overrides)."""
+    base = base or GemmConfig()
+    results = []
+    for i, overrides in enumerate(grid):
+        cfg = base.replace(**overrides)
+        res = run_one(cfg, m, n, k, verify=verify, iters=iters)
+        results.append(res)
+        if progress:
+            print(f"[{i + 1}/{len(grid)}] {overrides} -> {res.status}"
+                  + (f" {res.gflops:.1f} GOp/s" if res.gflops else ""))
+    return results
+
+
+def to_csv(results: List[SweepResult], path: Optional[str] = None) -> str:
+    """Serialize like ``extract_benchmarks`` (``build_manager.py:578-608``)."""
+    buf = io.StringIO()
+    writer = csv.DictWriter(buf, fieldnames=SweepResult.CSV_COLS)
+    writer.writeheader()
+    for r in results:
+        writer.writerow(r.csv_row())
+    text = buf.getvalue()
+    if path:
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
+def best_result(results: List[SweepResult]) -> Optional[SweepResult]:
+    ok = [r for r in results if r.status == "ok" and r.gflops]
+    return max(ok, key=lambda r: r.gflops) if ok else None
+
+
+def _int_list(s: str) -> List[int]:
+    return [int(x) for x in s.split(",")]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--m", type=int, required=True)
+    p.add_argument("--n", type=int, required=True)
+    p.add_argument("--k", type=int, required=True)
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--semiring", default="plus_times")
+    p.add_argument("--block-m", type=_int_list, default=[256, 512])
+    p.add_argument("--block-n", type=_int_list, default=[256, 512])
+    p.add_argument("--block-k", type=_int_list, default=[256, 512])
+    p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--csv", default=None, help="output CSV path")
+    args = p.parse_args(argv)
+
+    grid = expand_grid(block_m=args.block_m, block_n=args.block_n,
+                       block_k=args.block_k)
+    base = GemmConfig(dtype=args.dtype, semiring=args.semiring)
+    results = sweep(grid, args.m, args.n, args.k, base=base,
+                    verify=not args.no_verify, iters=args.iters, progress=True)
+    text = to_csv(results, args.csv)
+    if not args.csv:
+        print(text)
+    best = best_result(results)
+    if best:
+        print(f"best: blocks ({best.config.block_m},{best.config.block_n},"
+              f"{best.config.block_k}) -> {best.gflops:.1f} GOp/s")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Flagship MLP: forward/grad/training through the framework's matmul, and
+dp/tp sharded training on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gemm_hls_tpu.config import GemmConfig
+from gemm_hls_tpu.models.mlp import (
+    batch_sharding, init_params, loss_fn, make_batch, mlp_forward,
+    shard_params, train_step,
+)
+from gemm_hls_tpu.parallel.mesh import make_mesh
+
+CFG = GemmConfig(block_m=16, block_n=128, block_k=128, interpret=True)
+DIMS = (128, 256, 128)
+
+
+def test_forward_matches_plain_jax():
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, DIMS)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, DIMS[0]), jnp.float32)
+    out = mlp_forward(params, x, config=CFG)
+
+    h = x
+    for i, (w, b) in enumerate(params):
+        h = h @ w + b
+        if i + 1 < len(params):
+            h = jax.nn.relu(h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(h), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_train_step_reduces_loss():
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, DIMS)
+    batch = make_batch(jax.random.PRNGKey(2), 64, DIMS[0], DIMS[-1])
+    l0 = loss_fn(params, batch, config=CFG)
+    for _ in range(5):
+        params, loss = train_step(params, batch, config=CFG, lr=1e-2)
+    assert float(loss) < float(l0)
+
+
+def test_sharded_training_step_dp_tp():
+    mesh = make_mesh((4, 2), axis_names=("dp", "tp"))
+    key = jax.random.PRNGKey(0)
+    params = shard_params(init_params(key, DIMS), mesh)
+    batch = make_batch(jax.random.PRNGKey(2), 64, DIMS[0], DIMS[-1])
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    params2, loss = train_step(params, batch, config=CFG, lr=1e-2)
+    assert jnp.isfinite(loss)
+    # Weight shardings preserved through the step.
+    w0 = params2[0][0]
+    assert w0.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
+
+
+def test_sharded_matches_unsharded():
+    mesh = make_mesh((4, 2), axis_names=("dp", "tp"))
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, DIMS)
+    batch = make_batch(jax.random.PRNGKey(2), 32, DIMS[0], DIMS[-1])
+    p_ref, loss_ref = train_step(params, batch, config=CFG, lr=1e-2)
+    p_sh, loss_sh = train_step(shard_params(params, mesh),
+                               jax.device_put(batch, batch_sharding(mesh)),
+                               config=CFG, lr=1e-2)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_sh[0][0]), np.asarray(p_ref[0][0]),
+                               rtol=1e-4, atol=1e-6)

@@ -1,0 +1,129 @@
+"""Multi-chip decompositions on the virtual 8-device CPU mesh — the same
+philosophy as hlslib's thread-based dataflow simulation (SURVEY.md §4): the
+real decomposition logic runs, only the transport is simulated."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gemm_hls_tpu.config import GemmConfig
+from gemm_hls_tpu.parallel import (
+    cannon_matmul, make_mesh, matmul_25d, mesh_25d, shard_operands_2d,
+    shard_operands_25d, streamed_matmul, summa_matmul,
+)
+from gemm_hls_tpu.utils import make_operands, reference_matmul, verify_matmul
+
+CFG = GemmConfig(block_m=16, block_n=128, block_k=64, interpret=False)
+
+
+def small_cfg():
+    # XLA local backend on CPU; blocks get clamped by _local_config.
+    return None
+
+
+def test_make_mesh_auto_square():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.shape == {"x": 2, "y": 4}
+
+
+def test_make_mesh_too_many():
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh((4, 4))
+
+
+def test_summa_plus_times():
+    mesh = make_mesh((2, 4))
+    a, b = make_operands(64, 128, 64, "float32")
+    exp = reference_matmul(a, b)
+    a_s, b_s = shard_operands_2d(jnp.asarray(a), jnp.asarray(b), mesh)
+    out = summa_matmul(a_s, b_s, mesh)
+    verify_matmul(np.asarray(out), exp)
+
+
+def test_summa_min_plus():
+    mesh = make_mesh((2, 4))
+    a, b = make_operands(32, 64, 32, "float32")
+    exp = reference_matmul(a, b, semiring="min_plus")
+    a_s, b_s = shard_operands_2d(jnp.asarray(a), jnp.asarray(b), mesh)
+    out = summa_matmul(a_s, b_s, mesh, semiring="min_plus")
+    verify_matmul(np.asarray(out), exp)
+
+
+def test_summa_shape_validation():
+    mesh = make_mesh((2, 4))
+    a = jnp.zeros((66, 64), jnp.float32)
+    b = jnp.zeros((64, 130), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        summa_matmul(a, b, mesh)
+
+
+def test_cannon_square_mesh():
+    mesh = make_mesh((2, 2))
+    a, b = make_operands(64, 64, 64, "float32")
+    exp = reference_matmul(a, b)
+    a_s, b_s = shard_operands_2d(jnp.asarray(a), jnp.asarray(b), mesh)
+    out = cannon_matmul(a_s, b_s, mesh)
+    verify_matmul(np.asarray(out), exp)
+
+
+def test_cannon_min_plus():
+    mesh = make_mesh((2, 2))
+    a, b = make_operands(32, 32, 64, "float32")
+    exp = reference_matmul(a, b, semiring="min_plus")
+    a_s, b_s = shard_operands_2d(jnp.asarray(a), jnp.asarray(b), mesh)
+    out = cannon_matmul(a_s, b_s, mesh, semiring="min_plus")
+    verify_matmul(np.asarray(out), exp)
+
+
+def test_cannon_rejects_rectangular():
+    mesh = make_mesh((2, 4))
+    a = jnp.zeros((8, 8), jnp.float32)
+    with pytest.raises(ValueError, match="square"):
+        cannon_matmul(a, a, mesh)
+
+
+def test_25d_plus_times():
+    mesh = mesh_25d(c=2)
+    assert dict(mesh.shape) == {"z": 2, "x": 2, "y": 2}
+    a, b = make_operands(64, 64, 128, "float32")
+    exp = reference_matmul(a, b)
+    a_s, b_s = shard_operands_25d(jnp.asarray(a), jnp.asarray(b), mesh)
+    out = matmul_25d(a_s, b_s, mesh)
+    verify_matmul(np.asarray(out), exp)
+
+
+def test_25d_generic_semiring():
+    mesh = mesh_25d(c=2)
+    a, b = make_operands(32, 64, 64, "float32")
+    exp = reference_matmul(a, b, semiring="max_plus")
+    a_s, b_s = shard_operands_25d(jnp.asarray(a), jnp.asarray(b), mesh)
+    out = matmul_25d(a_s, b_s, mesh, semiring="max_plus")
+    verify_matmul(np.asarray(out), exp)
+
+
+def test_25d_under_jit():
+    mesh = mesh_25d(c=2)
+    a, b = make_operands(32, 32, 64, "float32")
+    exp = reference_matmul(a, b)
+    a_s, b_s = shard_operands_25d(jnp.asarray(a), jnp.asarray(b), mesh)
+    f = jax.jit(lambda x, y: matmul_25d(x, y, mesh))
+    out = f(a_s, b_s)
+    verify_matmul(np.asarray(out), exp)
+
+
+def test_streamed_matmul_out_of_core():
+    # Host-staged GEMM with host tiles much smaller than the problem.
+    a, b = make_operands(96, 80, 112, "float32")
+    exp = reference_matmul(a, b)
+    out = streamed_matmul(a, b, tile_m=32, tile_n=48, tile_k=64)
+    verify_matmul(out, exp)
+
+
+def test_streamed_matmul_min_plus():
+    a, b = make_operands(48, 40, 56, "float32")
+    exp = reference_matmul(a, b, semiring="min_plus")
+    out = streamed_matmul(a, b, semiring="min_plus", tile_m=16, tile_n=16,
+                          tile_k=32)
+    verify_matmul(out, exp)

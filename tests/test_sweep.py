@@ -1,0 +1,64 @@
+"""Sweep manager semantics — build_manager.py analogue (SURVEY.md §2 #14)."""
+
+import pytest
+
+from gemm_hls_tpu.config import GemmConfig
+from gemm_hls_tpu.tools.sweep import (
+    SweepResult, best_result, expand_grid, run_one, sweep, to_csv,
+)
+
+# Small interpreter-mode base so sweeps run on CPU.
+BASE = GemmConfig(interpret=True)
+
+
+def test_expand_grid():
+    grid = expand_grid(block_m=[16, 32], block_n=[128], block_k=[64, 128])
+    assert len(grid) == 4
+    assert {"block_m", "block_n", "block_k"} == set(grid[0])
+
+
+def test_run_one_ok():
+    cfg = BASE.replace(block_m=16, block_n=128, block_k=64)
+    res = run_one(cfg, 32, 128, 64, iters=1)
+    assert res.status == "ok"
+    assert res.gflops and res.gflops > 0
+    assert res.max_rel_err is not None and res.max_rel_err <= 1e-3
+
+
+def test_run_one_invalid_config():
+    cfg = GemmConfig(block_n=100)  # not lane-aligned, compiled mode
+    res = run_one(cfg, 64, 64, 64)
+    assert res.status == "invalid_config"
+    assert "block_n" in res.detail
+
+
+def test_run_one_vmem_overflow_classified():
+    cfg = GemmConfig(block_m=4096, block_n=4096, block_k=4096)
+    res = run_one(cfg, 64, 64, 64)
+    assert res.status in ("invalid_config", "vmem_overflow")
+
+
+def test_sweep_and_csv():
+    grid = expand_grid(block_m=[16, 32], block_n=[128], block_k=[64])
+    results = sweep(grid, 32, 128, 64, base=BASE, iters=1)
+    assert len(results) == 2
+    assert all(r.status == "ok" for r in results)
+    text = to_csv(results)
+    lines = text.strip().splitlines()
+    assert lines[0].startswith("dtype,semiring,block_m")
+    assert len(lines) == 3
+
+
+def test_sweep_generic_semiring():
+    grid = expand_grid(block_m=[16], block_n=[128], block_k=[64])
+    results = sweep(grid, 16, 128, 64,
+                    base=BASE.replace(semiring="min_plus"), iters=1)
+    assert results[0].status == "ok"
+
+
+def test_best_result():
+    r1 = SweepResult(BASE, "ok", seconds=1.0, gflops=10.0)
+    r2 = SweepResult(BASE, "ok", seconds=0.5, gflops=20.0)
+    r3 = SweepResult(BASE, "crashed")
+    assert best_result([r1, r2, r3]) is r2
+    assert best_result([r3]) is None

@@ -1,0 +1,83 @@
+"""Generic-semiring (VPU path) correctness — the configurable map/reduce
+operator capability (reference ``MM_MAP_OP``/``MM_REDUCE_OP``,
+``include/Config.h.in:34-35``) on the software-simulation path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gemm_hls_tpu import GemmConfig, matmul
+from gemm_hls_tpu.utils import make_operands, reference_matmul, verify_matmul
+
+CFG = GemmConfig(block_m=16, block_n=128, block_k=64, interpret=True)
+
+SEMIRINGS_F32 = ["min_plus", "max_plus", "max_min", "min_max", "max_times"]
+
+
+@pytest.mark.parametrize("name", SEMIRINGS_F32)
+def test_semirings_f32_aligned(name):
+    a, b = make_operands(32, 256, 128, "float32")
+    exp = reference_matmul(a, b, semiring=name)
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring=name, config=CFG)
+    verify_matmul(np.asarray(out), exp, what=name)
+
+
+@pytest.mark.parametrize("name", SEMIRINGS_F32)
+def test_semirings_f32_unaligned(name):
+    # K-tail masking to the reduce identity (reference Compute.cpp:112-137).
+    a, b = make_operands(21, 130, 77, "float32")
+    exp = reference_matmul(a, b, semiring=name)
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring=name, config=CFG)
+    verify_matmul(np.asarray(out), exp, what=name)
+
+
+def test_max_times_negative_values():
+    # The masking approach (vs pad-value tricks) must survive all-negative
+    # products.
+    a, b = make_operands(9, 140, 13, "float32", low=-10.0, high=-1.0)
+    exp = reference_matmul(a, b, semiring="max_times")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="max_times", config=CFG)
+    verify_matmul(np.asarray(out), exp)
+
+
+def test_min_plus_int32():
+    a, b = make_operands(17, 129, 33, "int32")
+    exp = reference_matmul(a, b, semiring="min_plus")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="min_plus",
+                 config=CFG.replace(dtype="int32"))
+    np.testing.assert_array_equal(np.asarray(out), exp)
+
+
+def test_or_and_bool_reachability():
+    a, b = make_operands(19, 131, 23, "bool")
+    exp = reference_matmul(a, b, semiring="or_and")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="or_and", config=CFG)
+    assert out.dtype == jnp.bool_
+    np.testing.assert_array_equal(np.asarray(out), exp)
+
+
+def test_min_plus_distance_product():
+    # Distance-product sanity: one relaxation step of APSP on a small graph.
+    inf = np.inf
+    d = np.array([[0, 3, inf], [inf, 0, 1], [2, inf, 0]], dtype=np.float32)
+    exp = reference_matmul(d, d, semiring="min_plus")
+    out = matmul(jnp.asarray(d), jnp.asarray(d), semiring="min_plus",
+                 config=GemmConfig(block_m=8, block_n=8, block_k=8, interpret=True))
+    np.testing.assert_allclose(np.asarray(out), exp)
+
+
+def test_vpu_transposes():
+    a, b = make_operands(20, 50, 30, "float32", transpose_a=True, transpose_b=True)
+    exp = reference_matmul(a, b, semiring="min_plus", transpose_a=True,
+                           transpose_b=True)
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="min_plus",
+                 config=CFG, transpose_a=True, transpose_b=True)
+    verify_matmul(np.asarray(out), exp)
+
+
+def test_xla_backend_generic_semiring():
+    a, b = make_operands(23, 45, 67, "float32")
+    exp = reference_matmul(a, b, semiring="min_plus")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="min_plus",
+                 backend="xla", config=CFG)
+    verify_matmul(np.asarray(out), exp)

@@ -6,6 +6,11 @@ from gemm_hls_tpu.models.perf_model import (
     specifications,
     format_specifications,
 )
+from gemm_hls_tpu.models.scaling_model import (
+    comm_volume_per_device,
+    multichip_model,
+    weak_scaling_efficiency,
+)
 
 __all__ = [
     "ChipSpec",
@@ -14,4 +19,7 @@ __all__ = [
     "detect_chip",
     "specifications",
     "format_specifications",
+    "comm_volume_per_device",
+    "multichip_model",
+    "weak_scaling_efficiency",
 ]

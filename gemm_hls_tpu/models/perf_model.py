@@ -42,6 +42,7 @@ class ChipSpec:
     ici_bandwidth: float = 0.0    # bytes/s per link, one direction
     ici_links: int = 0
     clock_hz: float = 940e6
+    tdp_watts: float = 0.0        # chip TDP, for GOp/J estimates
 
     def peak_for(self, dtype) -> float:
         d = str(jnp.dtype(dtype))
@@ -68,6 +69,7 @@ def _register(c: ChipSpec):
 
 _register(ChipSpec(
     name="v5e",
+    tdp_watts=200.0,
     peak_flops={"bfloat16": 197e12, "float32": 197e12 / 4, "int8": 394e12},
     hbm_bandwidth=819e9,
     vmem_bytes=128 * 1024 * 1024,
@@ -79,6 +81,7 @@ _register(ChipSpec(
 
 _register(ChipSpec(
     name="v5p",
+    tdp_watts=400.0,
     peak_flops={"bfloat16": 459e12, "float32": 459e12 / 4, "int8": 918e12},
     hbm_bandwidth=2765e9,
     vmem_bytes=128 * 1024 * 1024,
@@ -90,6 +93,7 @@ _register(ChipSpec(
 
 _register(ChipSpec(
     name="v4",
+    tdp_watts=220.0,
     peak_flops={"bfloat16": 275e12, "float32": 275e12 / 4, "int8": 275e12},
     hbm_bandwidth=1228e9,
     vmem_bytes=128 * 1024 * 1024,
@@ -101,6 +105,7 @@ _register(ChipSpec(
 
 _register(ChipSpec(
     name="v6e",
+    tdp_watts=300.0,
     peak_flops={"bfloat16": 918e12, "float32": 918e12 / 4, "int8": 1836e12},
     hbm_bandwidth=1640e9,
     vmem_bytes=128 * 1024 * 1024,
@@ -113,6 +118,7 @@ _register(ChipSpec(
 # only used so the model stays runnable off-TPU).
 _register(ChipSpec(
     name="cpu",
+    tdp_watts=65.0,
     peak_flops={"bfloat16": 2e11, "float32": 2e11, "int8": 4e11},
     hbm_bandwidth=50e9,
     vmem_bytes=32 * 1024 * 1024,

@@ -149,3 +149,11 @@ register_semiring(Semiring(
     map_op=jnp.logical_and, reduce_op=jnp.logical_or, identity=False,
     np_map=np.logical_and, np_reduce=np.logical_or,
 ))
+
+register_semiring(Semiring(
+    name="log_plus",
+    # Log semiring: map = +, reduce = logaddexp — the numerically stable
+    # sum-product in log space (HMM forward algorithm / marginalization).
+    map_op=jnp.add, reduce_op=jnp.logaddexp, identity=float("-inf"),
+    np_map=np.add, np_reduce=np.logaddexp,
+))

@@ -135,16 +135,60 @@ def run_one(cfg: GemmConfig, m: int, n: int, k: int, *, verify: bool = True,
                        max_rel_err=err)
 
 
+def _config_key(cfg: GemmConfig) -> tuple:
+    return (cfg.dtype, cfg.semiring, cfg.block_m, cfg.block_n, cfg.block_k,
+            cfg.precision)
+
+
+def _load_checkpoint(path: str) -> Dict[tuple, Dict]:
+    import os
+    done = {}
+    if not os.path.exists(path):
+        return done
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            key = (row["dtype"], row["semiring"], int(row["block_m"]),
+                   int(row["block_n"]), int(row["block_k"]), row["precision"])
+            done[key] = row
+    return done
+
+
 def sweep(grid: List[Dict], m: int, n: int, k: int, *, base: Optional[GemmConfig] = None,
-          verify: bool = True, iters: int = 5,
-          progress: bool = False) -> List[SweepResult]:
-    """Run every configuration in ``grid`` (dicts of GemmConfig overrides)."""
+          verify: bool = True, iters: int = 5, progress: bool = False,
+          checkpoint_csv: Optional[str] = None) -> List[SweepResult]:
+    """Run every configuration in ``grid`` (dicts of GemmConfig overrides).
+
+    ``checkpoint_csv``: append each result as it completes and skip
+    configurations already present — crash/resume semantics like the
+    reference's per-config build dirs (``build_manager.py:224-307``).
+    """
+    import os
     base = base or GemmConfig()
+    done = _load_checkpoint(checkpoint_csv) if checkpoint_csv else {}
     results = []
     for i, overrides in enumerate(grid):
         cfg = base.replace(**overrides)
+        key = _config_key(cfg)
+        if key in done:
+            row = done[key]
+            results.append(SweepResult(
+                cfg, row["status"],
+                seconds=float(row["seconds"]) if row["seconds"] else None,
+                gflops=float(row["gflops"]) if row["gflops"] else None,
+                detail=row.get("detail", "") + " [resumed]"))
+            if progress:
+                print(f"[{i + 1}/{len(grid)}] {overrides} -> "
+                      f"{row['status']} (cached)")
+            continue
         res = run_one(cfg, m, n, k, verify=verify, iters=iters)
         results.append(res)
+        if checkpoint_csv:
+            new_file = not os.path.exists(checkpoint_csv)
+            with open(checkpoint_csv, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=SweepResult.CSV_COLS)
+                if new_file:
+                    w.writeheader()
+                w.writerow(res.csv_row())
         if progress:
             print(f"[{i + 1}/{len(grid)}] {overrides} -> {res.status}"
                   + (f" {res.gflops:.1f} GOp/s" if res.gflops else ""))

@@ -17,26 +17,42 @@ import time
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 
 
 def time_fn(fn: Callable, args_sets: Sequence[Tuple], *, iters: int = 10,
             warmup: int = 2) -> float:
-    """Median-of-batches seconds per call of ``fn``.
+    """Seconds per call of ``fn``, measured with a tamper-proof protocol.
+
+    Remote-attached TPU transports can satisfy ``block_until_ready`` without
+    the work being observable, may cache repeated executions, and charge a
+    multi-ms round trip per dispatch — so the repetition loop runs
+    *on-device*: a ``fori_loop`` whose body recomputes ``fn`` behind an
+    ``optimization_barrier`` tied to a loop-carried checksum of the full
+    output.  XLA can neither hoist the call out of the loop, CSE it, nor
+    dead-code-eliminate any output element, and the single final host fetch
+    of the checksum cannot complete before every iteration has executed.
+    One transport round trip total.
 
     Args:
-      fn: jitted callable.
-      args_sets: one or more argument tuples; iterations cycle through them.
+      fn: jittable callable returning an array (or pytree; first leaf used).
+      args_sets: argument tuples; the on-device loop uses the first set (the
+        barrier defeats caching, so one set suffices).
     """
-    outs = []
-    for i in range(warmup):
-        outs.append(fn(*args_sets[i % len(args_sets)]))
-    jax.block_until_ready(outs)
+    args = args_sets[0]
 
-    outs = []
+    def repeated(*xs):
+        def body(_, s):
+            barred = jax.lax.optimization_barrier(tuple(xs) + (s,))
+            out = fn(*barred[:-1])
+            leaf = jax.tree.leaves(out)[0]
+            return barred[-1] + jnp.sum(leaf.astype(jnp.float32))
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    g = jax.jit(repeated)
+    float(g(*args))  # compile + warm (covers `warmup`)
     t0 = time.perf_counter()
-    for i in range(iters):
-        outs.append(fn(*args_sets[i % len(args_sets)]))
-    jax.block_until_ready(outs)
+    float(g(*args))  # single fetch dependent on all iterations
     return (time.perf_counter() - t0) / iters
 
 

@@ -62,3 +62,14 @@ def test_best_result():
     r3 = SweepResult(BASE, "crashed")
     assert best_result([r1, r2, r3]) is r2
     assert best_result([r3]) is None
+
+
+def test_sweep_checkpoint_resume(tmp_path):
+    ckpt = str(tmp_path / "sweep.csv")
+    grid = expand_grid(block_m=[16, 32], block_n=[128], block_k=[64])
+    r1 = sweep(grid, 32, 128, 64, base=BASE, iters=1, checkpoint_csv=ckpt)
+    assert all(r.status == "ok" for r in r1)
+    # Second run resumes everything from the CSV without re-executing.
+    r2 = sweep(grid, 32, 128, 64, base=BASE, iters=1, checkpoint_csv=ckpt)
+    assert all("[resumed]" in r.detail for r in r2)
+    assert [r.gflops for r in r2] == pytest.approx([r.gflops for r in r1], rel=1e-2)

@@ -81,3 +81,24 @@ def test_xla_backend_generic_semiring():
     out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="min_plus",
                  backend="xla", config=CFG)
     verify_matmul(np.asarray(out), exp)
+
+
+def test_log_plus_forward_algorithm():
+    # log-space sum-product: C = logsumexp_k(A + B) — HMM forward step.
+    a, b = make_operands(9, 130, 17, "float32", low=-2.0, high=2.0)
+    exp = reference_matmul(a, b, semiring="log_plus")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="log_plus", config=CFG)
+    verify_matmul(np.asarray(out), exp, rtol=1e-4)
+
+
+def test_vmap_over_matmul():
+    # Batched semiring matmul via jax.vmap over the public API.
+    import jax
+    ops = [make_operands(16, 24, 32, "float32", seed=i) for i in range(8)]
+    a3 = np.stack([a for a, _ in ops])
+    b3 = np.stack([b for _, b in ops])
+    f = jax.vmap(lambda x, y: matmul(x, y, config=CFG))
+    out = f(jnp.asarray(a3), jnp.asarray(b3))
+    for i in range(8):
+        verify_matmul(np.asarray(out[i]),
+                      a3[i].astype(np.float64) @ b3[i].astype(np.float64))

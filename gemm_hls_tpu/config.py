@@ -78,9 +78,10 @@ class GemmConfig:
         ``MM_TRANSPOSED_A``.
       pad_policy: "pad" (mask/pad unaligned sizes, reference dynamic-size
         masking ``kernel/Compute.cpp:112-137``) or "strict" (reject).
-      precision: MXU precision for float32 inputs ("highest" = full fp32 via
-        multi-pass, needed to meet the reference's 1e-3 tolerance;
-        "default" = fastest).
+      precision: MXU precision for float32 inputs. "default" (Mosaic's
+        multi-pass bf16 decomposition, ~5e-4 max rel err — inside the
+        reference's 1e-3 tolerance at 2.4x the speed); "high"/"highest" =
+        full fp32 accuracy (~3e-7) via more passes.
       interpret: force Pallas interpreter mode (None = auto: interpret
         off-TPU). The analogue of hlslib's software dataflow simulation —
         the *same kernel code* runs on CPU (reference ``test/TestSimulation.cpp``).
@@ -98,7 +99,7 @@ class GemmConfig:
     transpose_a: bool = False
     transpose_b: bool = False
     pad_policy: str = "pad"
-    precision: str = "highest"
+    precision: str = "default"
     interpret: Optional[bool] = None
     vmem_limit_bytes: int = 96 * 1024 * 1024
 
@@ -139,8 +140,10 @@ class GemmConfig:
         """
         if self.pad_policy not in ("pad", "strict"):
             raise ValueError(f"pad_policy must be 'pad' or 'strict', got {self.pad_policy!r}")
-        if self.precision not in ("highest", "default"):
-            raise ValueError(f"precision must be 'highest' or 'default', got {self.precision!r}")
+        if self.precision not in ("default", "high", "highest"):
+            raise ValueError(
+                f"precision must be 'default', 'high', or 'highest', "
+                f"got {self.precision!r}")
         for name in ("block_m", "block_n", "block_k"):
             v = getattr(self, name)
             if not (isinstance(v, int) and v > 0):

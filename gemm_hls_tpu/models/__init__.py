@@ -11,6 +11,12 @@ from gemm_hls_tpu.models.scaling_model import (
     multichip_model,
     weak_scaling_efficiency,
 )
+from gemm_hls_tpu.models.graph import (
+    all_pairs_shortest_paths,
+    distance_product,
+    transitive_closure,
+    widest_paths,
+)
 
 __all__ = [
     "ChipSpec",
@@ -22,4 +28,8 @@ __all__ = [
     "comm_volume_per_device",
     "multichip_model",
     "weak_scaling_efficiency",
+    "all_pairs_shortest_paths",
+    "distance_product",
+    "transitive_closure",
+    "widest_paths",
 ]

@@ -1,0 +1,85 @@
+"""Graph algorithms on semiring GEMM — the application layer.
+
+The reference motivates its configurable semiring with the distance product
+("e.g., the distance product, by setting the operators to addition and
+minimum", reference ``README.md:50``).  This module provides the actual
+applications, built entirely on the framework's CA-GEMM:
+
+* :func:`distance_product` — one (min, +) relaxation step.
+* :func:`all_pairs_shortest_paths` — APSP by repeated squaring of the
+  adjacency matrix in the tropical semiring: D_{2h} = D_h (min,+) D_h,
+  ceil(log2(n)) GEMMs, each MXU-impossible but VPU-tiled.
+* :func:`transitive_closure` — boolean reachability by (or, and) squaring.
+* :func:`widest_paths` — bottleneck shortest paths in the (max, min)
+  semiring.
+
+Each is a pure jittable function; on a mesh, pass a distributed matmul
+(e.g. ``functools.partial(summa_matmul, mesh=mesh, semiring=...)``) via the
+``matmul_fn`` hook to scale past one chip.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from gemm_hls_tpu.config import GemmConfig
+from gemm_hls_tpu.ops.matmul import matmul
+
+
+def distance_product(d1, d2, *, config: Optional[GemmConfig] = None,
+                     matmul_fn: Optional[Callable] = None):
+    """(min, +) product: out[i,j] = min_k d1[i,k] + d2[k,j]."""
+    if matmul_fn is not None:
+        return matmul_fn(d1, d2)
+    return matmul(d1, d2, semiring="min_plus", config=config)
+
+
+def all_pairs_shortest_paths(adj, *, config: Optional[GemmConfig] = None,
+                             matmul_fn: Optional[Callable] = None):
+    """APSP via repeated squaring in the tropical semiring.
+
+    Args:
+      adj: (n, n) edge-weight matrix; +inf where no edge; the diagonal is
+        forced to 0 (paths of length 0).
+    Returns the shortest-path distance matrix after ceil(log2(n)) squarings.
+    """
+    n = adj.shape[0]
+    d = jnp.where(jnp.eye(n, dtype=bool), jnp.zeros_like(adj), adj)
+    for _ in range(max(1, math.ceil(math.log2(max(n - 1, 2))))):
+        d = distance_product(d, d, config=config, matmul_fn=matmul_fn)
+    return d
+
+
+def transitive_closure(adj, *, config: Optional[GemmConfig] = None,
+                       matmul_fn: Optional[Callable] = None):
+    """Boolean reachability closure via (or, and) repeated squaring."""
+    n = adj.shape[0]
+    r = jnp.logical_or(jnp.asarray(adj, bool), jnp.eye(n, dtype=bool))
+    for _ in range(max(1, math.ceil(math.log2(max(n - 1, 2))))):
+        if matmul_fn is not None:
+            r = matmul_fn(r, r)
+        else:
+            r = matmul(r, r, semiring="or_and", config=config)
+    return r
+
+
+def widest_paths(cap, *, config: Optional[GemmConfig] = None,
+                 matmul_fn: Optional[Callable] = None):
+    """All-pairs bottleneck (maximum-capacity) paths in (max, min).
+
+    Args:
+      cap: (n, n) capacity matrix; 0 (or -inf) where no edge; the diagonal
+        is forced to +inf (a node reaches itself with unlimited capacity).
+    """
+    n = cap.shape[0]
+    w = jnp.where(jnp.eye(n, dtype=bool),
+                  jnp.full_like(cap, jnp.inf), cap)
+    for _ in range(max(1, math.ceil(math.log2(max(n - 1, 2))))):
+        if matmul_fn is not None:
+            w = matmul_fn(w, w)
+        else:
+            w = matmul(w, w, semiring="max_min", config=config)
+    return w

@@ -232,8 +232,16 @@ def matmul(
     Returns (M, N) in ``config.out_dtype``.
     """
     sr = get_semiring(semiring)
+    if a.ndim == 3 or b.ndim == 3:
+        # Batched GEMM: vmap over the leading axis (a 2-D operand is
+        # broadcast across the batch).
+        kw = dict(semiring=semiring, config=config, transpose_a=transpose_a,
+                  transpose_b=transpose_b, out_dtype=out_dtype,
+                  backend=backend, interpret=interpret, precision=precision)
+        in_axes = (0 if a.ndim == 3 else None, 0 if b.ndim == 3 else None)
+        return jax.vmap(lambda x, y: matmul(x, y, **kw), in_axes=in_axes)(a, b)
     if a.ndim != 2 or b.ndim != 2:
-        raise ValueError(f"matmul expects 2-D operands, got {a.shape}, {b.shape}")
+        raise ValueError(f"matmul expects 2-D or 3-D operands, got {a.shape}, {b.shape}")
     if config is None:
         config = default_config(str(a.dtype), semiring=sr.name)
     overrides = {}

@@ -53,7 +53,26 @@ def time_fn(fn: Callable, args_sets: Sequence[Tuple], *, iters: int = 10,
     float(g(*args))  # compile + warm (covers `warmup`)
     t0 = time.perf_counter()
     float(g(*args))  # single fetch dependent on all iterations
-    return (time.perf_counter() - t0) / iters
+    per_iter = (time.perf_counter() - t0) / iters
+    # Subtract harness overhead, but never report < 5% of the raw
+    # measurement (guards against calibration variance inventing speed).
+    return max(per_iter - _loop_overhead(), per_iter * 0.05)
+
+
+_OVERHEAD_CACHE: dict = {}
+
+
+def _loop_overhead() -> float:
+    """Per-iteration cost of the timing loop itself (barrier + checksum +
+    launch), calibrated once per process with a trivial kernel (~0.5 ms on
+    remote-attached chips, ~0 locally) and subtracted from measurements."""
+    backend = jax.default_backend()
+    if backend not in _OVERHEAD_CACHE:
+        _OVERHEAD_CACHE[backend] = 0.0  # so the nested time_fn subtracts 0
+        x = jnp.ones((8, 128), jnp.float32)
+        trivial = jax.jit(lambda v: v)
+        _OVERHEAD_CACHE[backend] = time_fn(trivial, [(x,)], iters=30)
+    return _OVERHEAD_CACHE[backend]
 
 
 def gflops(m: int, n: int, k: int, seconds: float) -> float:

@@ -140,3 +140,32 @@ def test_jit_wrapped():
     f = jax.jit(lambda a, b: matmul(a, b, config=CFG))
     out = f(jnp.asarray(a), jnp.asarray(b))
     verify_matmul(np.asarray(out), reference_matmul(a, b))
+
+
+def test_batched_3d():
+    ops = [make_operands(16, 24, 32, "float32", seed=i) for i in range(4)]
+    a3 = np.stack([a for a, _ in ops])
+    b3 = np.stack([b for _, b in ops])
+    out = matmul(jnp.asarray(a3), jnp.asarray(b3), config=CFG)
+    assert out.shape == (4, 16, 24)
+    for i in range(4):
+        verify_matmul(np.asarray(out[i]), reference_matmul(a3[i], b3[i]))
+
+
+def test_batched_broadcast_b():
+    ops = [make_operands(16, 24, 32, "float32", seed=i) for i in range(4)]
+    a3 = np.stack([a for a, _ in ops])
+    b = ops[0][1]
+    out = matmul(jnp.asarray(a3), jnp.asarray(b), config=CFG)
+    assert out.shape == (4, 16, 24)
+    verify_matmul(np.asarray(out[2]), reference_matmul(a3[2], b))
+
+
+def test_batched_semiring():
+    ops = [make_operands(8, 16, 12, "float32", seed=i) for i in range(3)]
+    a3 = np.stack([a for a, _ in ops])
+    b3 = np.stack([b for _, b in ops])
+    out = matmul(jnp.asarray(a3), jnp.asarray(b3), semiring="min_plus",
+                 config=CFG)
+    verify_matmul(np.asarray(out[1]),
+                  reference_matmul(a3[1], b3[1], semiring="min_plus"))

@@ -161,7 +161,7 @@ def _xla_matmul(a, b, cfg: GemmConfig, sr: Semiring):
             a_c, b_c, msk = operands
             mapped = sr.map_op(a_c[:, :, None], b_c[None, :, :])
             mapped = jnp.where(msk, mapped, jnp.asarray(ident, acc_dtype))
-        return sr.reduce_op(acc, fold_axis(mapped, sr.reduce_op, 1)), None
+        return sr.reduce_op(acc, sr.reduce_along(mapped, axis=1)), None
 
     init = jnp.full((m, n), ident, acc_dtype)
     xs = (a_chunks, b_chunks) if m_chunks is None else (a_chunks, b_chunks, m_chunks)
@@ -187,7 +187,8 @@ def _vpu_dispatch(a, b, cfg: GemmConfig, sr: Semiring):
         a_l, b_l = a_l.astype(jnp.int32), b_l.astype(jnp.int32)
         sr = Semiring(name=sr.name + "_int", map_op=jnp.minimum,
                       reduce_op=jnp.maximum, identity=0,
-                      np_map=np.minimum, np_reduce=np.maximum)
+                      np_map=np.minimum, np_reduce=np.maximum,
+                      reduce_axis=jnp.max)
         cfg = cfg.replace(dtype="int32", out_dtype="int32", acc_dtype="int32")
 
     mp, np_, kp = cfg.padded_shape(m, n, k)

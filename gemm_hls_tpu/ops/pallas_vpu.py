@@ -54,7 +54,8 @@ def fold_axis(x, op, axis: int):
 
 
 def _vpu_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, bk, ck, k_actual,
-                map_op, reduce_op, identity, acc_dtype, out_dtype):
+                sr, identity, acc_dtype, out_dtype):
+    map_op, reduce_op = sr.map_op, sr.reduce_op
     pid_k = pl.program_id(2)
 
     @pl.when(pid_k == 0)
@@ -76,7 +77,7 @@ def _vpu_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, bk, ck, k_actual,
                             + jax.lax.broadcasted_iota(jnp.int32, (1, ck, 1), 1))
                 mapped = jnp.where(k_global < k_actual, mapped,
                                    jnp.asarray(identity, acc_dtype))
-            return reduce_op(acc, fold_axis(mapped, reduce_op, axis=1))
+            return reduce_op(acc, sr.reduce_along(mapped, axis=1))
         return body
 
     acc = acc_ref[:]
@@ -98,9 +99,10 @@ def _vpu_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, bk, ck, k_actual,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sr", "k_actual", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "sr", "k_actual",
+                                              "interpret", "ck"))
 def vpu_matmul(a, b, *, cfg: GemmConfig, sr: Semiring, k_actual: int,
-               interpret=False):
+               interpret=False, ck: int = None):
     """Padded/aligned generic-semiring matmul on the VPU.
 
     Args:
@@ -118,9 +120,13 @@ def vpu_matmul(a, b, *, cfg: GemmConfig, sr: Semiring, k_actual: int,
         )
     acc_dtype = cfg.jacc_dtype
     out_dtype = cfg.jout_dtype
-    # K-chunk: 128 (the lane width — Mosaic requires lane-dim dynamic slices
-    # to be 128-aligned); whole-block for small interpreter-mode configs.
-    ck = 128 if bk % 128 == 0 else bk
+    # K-chunk: multiple of 128 (the lane width — Mosaic requires lane-dim
+    # dynamic slices to be 128-aligned); whole-block for small
+    # interpreter-mode configs.
+    if ck is None:
+        ck = 128 if bk % 128 == 0 else bk
+    if bk % ck:
+        raise ValueError(f"block_k={bk} must be a multiple of chunk ck={ck}")
     mapped_bytes = bm * ck * bn * acc_dtype.itemsize
     if not interpret and mapped_bytes > cfg.vmem_limit_bytes // 2:
         raise ValueError(
@@ -133,8 +139,7 @@ def vpu_matmul(a, b, *, cfg: GemmConfig, sr: Semiring, k_actual: int,
     kernel = functools.partial(
         _vpu_kernel,
         n_k_grid=grid[2], bk=bk, ck=ck, k_actual=k_actual,
-        map_op=sr.map_op, reduce_op=sr.reduce_op,
-        identity=sr.identity_for(acc_dtype),
+        sr=sr, identity=sr.identity_for(acc_dtype),
         acc_dtype=acc_dtype, out_dtype=out_dtype,
     )
 

@@ -47,6 +47,9 @@ class Semiring:
       np_map / np_reduce: numpy equivalents for the host-side verification
         oracle (reference ``include/Utility.h:18-42`` ``Naive``); ``np_reduce``
         must be a numpy ufunc supporting ``.reduce``.
+      reduce_axis: optional jnp axis-reduction (e.g. ``jnp.min``) matching
+        ``reduce_op``; built-ins provide it so kernels use the natively
+        vectorized reduction instead of a generic binary fold tree.
       is_mxu: True iff this is the arithmetic (+, *) semiring that can ride
         the 128x128 MXU; everything else takes the VPU path — the analogue of
         the reference's DSP-vs-LUT operator resource binding
@@ -60,6 +63,15 @@ class Semiring:
     np_map: Callable
     np_reduce: np.ufunc
     is_mxu: bool = False
+    reduce_axis: Optional[Callable] = None
+
+    def reduce_along(self, x, axis: int):
+        """Reduce ``x`` along ``axis``: native reduction when available,
+        generic balanced fold otherwise."""
+        if self.reduce_axis is not None:
+            return self.reduce_axis(x, axis=axis)
+        from gemm_hls_tpu.ops.pallas_vpu import fold_axis
+        return fold_axis(x, self.reduce_op, axis)
 
     def identity_for(self, dtype):
         """Reduce identity cast to ``dtype`` (inf -> dtype max for ints)."""
@@ -111,6 +123,7 @@ register_semiring(Semiring(
     name="plus_times",
     map_op=jnp.multiply, reduce_op=jnp.add, identity=0,
     np_map=np.multiply, np_reduce=np.add,
+    reduce_axis=jnp.sum,
     is_mxu=True,
 ))
 
@@ -118,30 +131,35 @@ register_semiring(Semiring(
     name="min_plus",
     map_op=jnp.add, reduce_op=jnp.minimum, identity=float("inf"),
     np_map=np.add, np_reduce=np.minimum,
+    reduce_axis=jnp.min,
 ))
 
 register_semiring(Semiring(
     name="max_plus",
     map_op=jnp.add, reduce_op=jnp.maximum, identity=float("-inf"),
     np_map=np.add, np_reduce=np.maximum,
+    reduce_axis=jnp.max,
 ))
 
 register_semiring(Semiring(
     name="max_min",
     map_op=jnp.minimum, reduce_op=jnp.maximum, identity=float("-inf"),
     np_map=np.minimum, np_reduce=np.maximum,
+    reduce_axis=jnp.max,
 ))
 
 register_semiring(Semiring(
     name="min_max",
     map_op=jnp.maximum, reduce_op=jnp.minimum, identity=float("inf"),
     np_map=np.maximum, np_reduce=np.minimum,
+    reduce_axis=jnp.min,
 ))
 
 register_semiring(Semiring(
     name="max_times",
     map_op=jnp.multiply, reduce_op=jnp.maximum, identity=float("-inf"),
     np_map=np.multiply, np_reduce=np.maximum,
+    reduce_axis=jnp.max,
 ))
 
 register_semiring(Semiring(
@@ -156,4 +174,5 @@ register_semiring(Semiring(
     # sum-product in log space (HMM forward algorithm / marginalization).
     map_op=jnp.add, reduce_op=jnp.logaddexp, identity=float("-inf"),
     np_map=np.add, np_reduce=np.logaddexp,
+    reduce_axis=None,
 ))

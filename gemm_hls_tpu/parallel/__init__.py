@@ -3,7 +3,7 @@ from gemm_hls_tpu.parallel.summa import (
     summa_matmul, cannon_matmul, shard_operands_2d,
 )
 from gemm_hls_tpu.parallel.grid25d import matmul_25d, shard_operands_25d
-from gemm_hls_tpu.parallel.staging import streamed_matmul
+from gemm_hls_tpu.parallel.staging import streamed_matmul, streamed_matmul_files
 
 __all__ = [
     "make_mesh",
@@ -14,4 +14,5 @@ __all__ = [
     "matmul_25d",
     "shard_operands_25d",
     "streamed_matmul",
+    "streamed_matmul_files",
 ]

@@ -26,6 +26,50 @@ from gemm_hls_tpu.ops.matmul import matmul
 from gemm_hls_tpu.ops.semiring import get_semiring
 
 
+def streamed_matmul_files(a_file, b_file, c_file, *, semiring="plus_times",
+                          config: Optional[GemmConfig] = None,
+                          tile_m: int = 8192, tile_n: int = 8192,
+                          tile_k: int = 8192, device=None) -> None:
+    """Disk-resident GEMM: operands and result live in files
+    (``utils.tileio.MatrixFile``), streamed disk -> DRAM -> HBM per tile —
+    the reference's DDR->BRAM outer-tile loop re-based two levels up.
+
+    Args:
+      a_file: MatrixFile (M, K); b_file: MatrixFile (K, N);
+      c_file: writable MatrixFile (M, N).
+    """
+    sr = get_semiring(semiring)
+    m, k = a_file.shape
+    k2, n = b_file.shape
+    if k != k2 or c_file.shape != (m, n):
+        raise ValueError(f"shape mismatch: {a_file.shape} x {b_file.shape} "
+                         f"-> {c_file.shape}")
+    if config is None:
+        config = default_config(str(a_file.dtype), semiring=sr.name)
+    acc_dtype = config.jacc_dtype
+    cfg_acc = config.replace(out_dtype=str(acc_dtype))
+    device = device or jax.devices()[0]
+    ident = sr.identity_for(acc_dtype)
+
+    kp = cdiv(k, tile_k)
+    for i0 in range(0, m, tile_m):
+        i1 = min(m, i0 + tile_m)
+        for j0 in range(0, n, tile_n):
+            j1 = min(n, j0 + tile_n)
+            acc = jax.device_put(jnp.full((i1 - i0, j1 - j0), ident,
+                                          acc_dtype), device)
+            for kk in range(kp):
+                k0, k1 = kk * tile_k, min(k, (kk + 1) * tile_k)
+                a_panel = jax.device_put(a_file.read_tile(i0, i1, k0, k1),
+                                         device)
+                b_panel = jax.device_put(b_file.read_tile(k0, k1, j0, j1),
+                                         device)
+                acc = sr.reduce_op(acc, matmul(a_panel, b_panel, semiring=sr,
+                                               config=cfg_acc))
+            c_file.write_tile(i0, j0, np.asarray(
+                acc.astype(jnp.dtype(str(c_file.dtype)))))
+
+
 def streamed_matmul(a: np.ndarray, b: np.ndarray, *, semiring="plus_times",
                     config: Optional[GemmConfig] = None,
                     tile_m: int = 8192, tile_n: int = 8192,

@@ -33,7 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gemm_hls_tpu.config import GemmConfig, default_config
+from gemm_hls_tpu.config import (
+    GemmConfig, LANE, default_config, round_up, sublane,
+)
 from gemm_hls_tpu.ops.semiring import Semiring, get_semiring
 from gemm_hls_tpu.ops import pallas_mxu, pallas_vpu
 from gemm_hls_tpu.ops.pallas_vpu import fold_axis
@@ -233,6 +235,7 @@ def matmul(
     Returns (M, N) in ``config.out_dtype``.
     """
     sr = get_semiring(semiring)
+    auto_config = config is None
     if a.ndim == 3 or b.ndim == 3:
         # Batched GEMM: vmap over the leading axis (a 2-D operand is
         # broadcast across the batch).
@@ -262,6 +265,18 @@ def matmul(
         overrides["semiring"] = sr.name
     if overrides:
         config = config.replace(**overrides)
+
+    if auto_config:
+        # Clamp auto-chosen blocks to the problem so small operands don't
+        # pad up to full-size tiles.
+        m_dim = a.shape[1] if config.transpose_a else a.shape[0]
+        n_dim = b.shape[0] if config.transpose_b else b.shape[1]
+        k_dim = a.shape[0] if config.transpose_a else a.shape[1]
+        config = config.replace(
+            block_m=min(config.block_m, round_up(m_dim, sublane(config.dtype))),
+            block_n=min(config.block_n, round_up(n_dim, LANE)),
+            block_k=min(config.block_k, round_up(k_dim, LANE)),
+        )
 
     ka = a.shape[0] if config.transpose_a else a.shape[1]
     kb = b.shape[1] if config.transpose_b else b.shape[0]

@@ -66,3 +66,24 @@ def test_sharded_matches_unsharded():
     np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p_sh[0][0]), np.asarray(p_ref[0][0]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_checkpoint_roundtrip_npz(tmp_path):
+    from gemm_hls_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    params = init_params(jax.random.PRNGKey(0), DIMS)
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, params)
+    restored = load_checkpoint(p, like=params)
+    for (w1, b1), (w2, b2) in zip(params, restored):
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    from gemm_hls_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    params = init_params(jax.random.PRNGKey(1), DIMS)
+    p = str(tmp_path / "orbax_ck")
+    save_checkpoint(p, params)
+    restored = load_checkpoint(p, like=params)
+    np.testing.assert_array_equal(np.asarray(params[0][0]),
+                                  np.asarray(restored[0][0]))

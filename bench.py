@@ -82,11 +82,17 @@ def main():
         return 1
 
     m = n = k = size
-    rng = np.random.default_rng(5)
-    a16 = jnp.asarray(rng.uniform(1, 10, (m, k)).astype(np.float32),
-                      dtype=jnp.bfloat16)
-    b16 = jnp.asarray(rng.uniform(1, 10, (k, n)).astype(np.float32),
-                      dtype=jnp.bfloat16)
+    # Operands generated on device (host->HBM transfers over remote-attached
+    # links run at tens of MB/s; 8192^2 operands would dominate wall time).
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("dtype",))
+    def gen(seed, dtype=jnp.bfloat16):
+        ka, kb = jax.random.split(jax.random.PRNGKey(seed))
+        return (jax.random.uniform(ka, (m, k), jnp.float32, 1.0, 10.0).astype(dtype),
+                jax.random.uniform(kb, (k, n), jnp.float32, 1.0, 10.0).astype(dtype))
+
+    a16, b16 = gen(5)
 
     def bench_one(name, fn, pair, it=iters):
         t0 = time.perf_counter()
@@ -125,8 +131,7 @@ def main():
     xla_gf = bench_one("xla jnp.dot bf16",
                        jax.jit(lambda x, y: jnp.dot(x, y)), (a16, b16))
 
-    a32 = jnp.asarray(rng.uniform(1, 10, (m, k)).astype(np.float32))
-    b32 = jnp.asarray(rng.uniform(1, 10, (k, n)).astype(np.float32))
+    a32, b32 = gen(6, jnp.float32)
     f32_gf = bench_one(
         "pallas fp32 (1e-3 regime)",
         jax.jit(lambda x, y: matmul(x, y, config=cfg_f32)), (a32, b32))
@@ -136,8 +141,12 @@ def main():
             x, y, config=cfg_f32.replace(precision="high"))), (a32, b32))
 
     if on_tpu:
-        ai = jnp.asarray(rng.integers(-10, 10, (m, k)).astype(np.int8))
-        bi = jnp.asarray(rng.integers(-10, 10, (k, n)).astype(np.int8))
+        @jax.jit
+        def gen_i8(seed):
+            ka, kb = jax.random.split(jax.random.PRNGKey(seed))
+            return (jax.random.randint(ka, (m, k), -10, 10, jnp.int8),
+                    jax.random.randint(kb, (k, n), -10, 10, jnp.int8))
+        ai, bi = gen_i8(7)
         cfg_i8 = GemmConfig(dtype="int8", out_dtype="int32", block_m=512,
                             block_n=1024, block_k=1024)
         int8_gf = bench_one(

@@ -102,6 +102,10 @@ class GemmConfig:
     precision: str = "default"
     interpret: Optional[bool] = None
     vmem_limit_bytes: int = 96 * 1024 * 1024
+    # Per-output-tile progress prints from inside the kernel — the analogue
+    # of the reference's simulation-mode progress output
+    # (``kernel/Memory.cpp:384-389``) and MM_ENABLE_DEBUGGING.
+    debug: bool = False
 
     # ---- resolved dtypes -------------------------------------------------
 

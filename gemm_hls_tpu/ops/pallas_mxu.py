@@ -52,7 +52,8 @@ def _resolve_precision(cfg: GemmConfig):
     return _PRECISION[cfg.precision]
 
 
-def _kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, dims, precision, out_dtype):
+def _kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, dims, precision,
+            out_dtype, debug=False):
     """One (block_m x block_n) C tile, one K-chunk per invocation.
 
     Grid is (m, n, k) with k innermost ("arbitrary"); the accumulator
@@ -75,6 +76,13 @@ def _kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, dims, precision, out_dtyp
     @pl.when(pl.program_id(2) == n_k_grid - 1)
     def _store():
         o_ref[:] = acc_ref[:].astype(out_dtype)
+        if debug:
+            # Per-tile progress (reference kernel/Memory.cpp:384-389);
+            # payload kept free of program_id so it lowers in both compiled
+            # and interpreter modes.
+            pl.debug_print(
+                "ca_gemm_mxu: output tile written (k_steps={})",
+                jnp.full((), n_k_grid, jnp.int32))
 
 
 @functools.partial(
@@ -127,6 +135,7 @@ def mxu_matmul(a, b, *, cfg: GemmConfig, transpose_a=False, transpose_b=False,
         dims=((a_contract,), (b_contract,)),
         precision=_resolve_precision(cfg),
         out_dtype=out_dtype,
+        debug=cfg.debug,
     )
 
     kwargs = {}

@@ -26,6 +26,7 @@ CLI:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import csv
 import dataclasses
 import io
@@ -95,9 +96,52 @@ def expand_grid(**axes: Sequence) -> List[Dict]:
             for vals in itertools.product(*(axes[k] for k in keys))]
 
 
+class _Timeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def _alarm(seconds: Optional[float]):
+    """SIGALRM-based wall-clock timeout (main thread only) — guards against
+    compile/execution hangs, the analogue of the reference's benchmark
+    timeout (``build_manager.py:649-669``)."""
+    import signal
+    if not seconds or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+
+    def handler(signum, frame):
+        raise _Timeout(f"exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.setitimer(signal.ITIMER_REAL, seconds)
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def run_one(cfg: GemmConfig, m: int, n: int, k: int, *, verify: bool = True,
-            iters: int = 5, backend: Optional[str] = None) -> SweepResult:
-    """Compile + verify + benchmark one configuration."""
+            iters: int = 5, backend: Optional[str] = None,
+            timeout_s: Optional[float] = None,
+            retries: int = 0) -> SweepResult:
+    """Compile + verify + benchmark one configuration, with timeout and
+    retry (``build_manager.py:611-669`` semantics)."""
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            with _alarm(timeout_s):
+                return _run_one_inner(cfg, m, n, k, verify=verify,
+                                      iters=iters, backend=backend)
+        except _Timeout as e:
+            last = SweepResult(cfg, "timeout", detail=str(e))
+    return last
+
+
+def _run_one_inner(cfg: GemmConfig, m: int, n: int, k: int, *,
+                   verify: bool, iters: int,
+                   backend: Optional[str]) -> SweepResult:
     import jax
     import jax.numpy as jnp
     from gemm_hls_tpu.ops.matmul import matmul
@@ -155,7 +199,9 @@ def _load_checkpoint(path: str) -> Dict[tuple, Dict]:
 
 def sweep(grid: List[Dict], m: int, n: int, k: int, *, base: Optional[GemmConfig] = None,
           verify: bool = True, iters: int = 5, progress: bool = False,
-          checkpoint_csv: Optional[str] = None) -> List[SweepResult]:
+          checkpoint_csv: Optional[str] = None,
+          timeout_s: Optional[float] = None,
+          retries: int = 0) -> List[SweepResult]:
     """Run every configuration in ``grid`` (dicts of GemmConfig overrides).
 
     ``checkpoint_csv``: append each result as it completes and skip
@@ -180,7 +226,8 @@ def sweep(grid: List[Dict], m: int, n: int, k: int, *, base: Optional[GemmConfig
                 print(f"[{i + 1}/{len(grid)}] {overrides} -> "
                       f"{row['status']} (cached)")
             continue
-        res = run_one(cfg, m, n, k, verify=verify, iters=iters)
+        res = run_one(cfg, m, n, k, verify=verify, iters=iters,
+                      timeout_s=timeout_s, retries=retries)
         results.append(res)
         if checkpoint_csv:
             new_file = not os.path.exists(checkpoint_csv)
@@ -231,13 +278,19 @@ def main(argv=None):
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--csv", default=None, help="output CSV path")
+    p.add_argument("--checkpoint", default=None,
+                   help="incremental CSV for crash/resume")
+    p.add_argument("--timeout-s", type=float, default=None)
+    p.add_argument("--retries", type=int, default=0)
     args = p.parse_args(argv)
 
     grid = expand_grid(block_m=args.block_m, block_n=args.block_n,
                        block_k=args.block_k)
     base = GemmConfig(dtype=args.dtype, semiring=args.semiring)
     results = sweep(grid, args.m, args.n, args.k, base=base,
-                    verify=not args.no_verify, iters=args.iters, progress=True)
+                    verify=not args.no_verify, iters=args.iters, progress=True,
+                    checkpoint_csv=args.checkpoint, timeout_s=args.timeout_s,
+                    retries=args.retries)
     text = to_csv(results, args.csv)
     if not args.csv:
         print(text)

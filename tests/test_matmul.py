@@ -169,3 +169,11 @@ def test_batched_semiring():
                  config=CFG)
     verify_matmul(np.asarray(out[1]),
                   reference_matmul(a3[1], b3[1], semiring="min_plus"))
+
+
+def test_debug_progress_prints(capfd):
+    a, b = make_operands(32, 128, 128, "float32")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), config=CFG.replace(debug=True))
+    jax.block_until_ready(out)
+    captured = capfd.readouterr()
+    assert "output tile" in captured.out + captured.err

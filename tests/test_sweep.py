@@ -73,3 +73,22 @@ def test_sweep_checkpoint_resume(tmp_path):
     r2 = sweep(grid, 32, 128, 64, base=BASE, iters=1, checkpoint_csv=ckpt)
     assert all("[resumed]" in r.detail for r in r2)
     assert [r.gflops for r in r2] == pytest.approx([r.gflops for r in r1], rel=1e-2)
+
+
+def test_run_one_timeout():
+    import time as _time
+    from gemm_hls_tpu.tools import sweep as sweep_mod
+
+    # Monkeypatch-free: drive the alarm with an artificially slow verify by
+    # timing out a real (but tiny) run with an absurdly small budget.
+    cfg = BASE.replace(block_m=16, block_n=128, block_k=64)
+    res = sweep_mod.run_one(cfg, 32, 128, 64, iters=1, timeout_s=1e-4,
+                            retries=2)
+    assert res.status == "timeout"
+    assert "exceeded" in res.detail
+
+
+def test_run_one_no_timeout_when_fast():
+    res = run_one(BASE.replace(block_m=16, block_n=128, block_k=64),
+                  32, 128, 64, iters=1, timeout_s=300)
+    assert res.status == "ok"

@@ -28,6 +28,7 @@ implementation.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -125,26 +126,39 @@ def ozaki_matmul(a: np.ndarray, b: np.ndarray, *,
     if interpret is not None:
         config = config.replace(interpret=interpret)
     # Exact bf16 slices (<= 8 mantissa bits by construction).
-    a_dev = [jnp.asarray(s, jnp.bfloat16) for s in a_slices]
-    b_dev = [jnp.asarray(s, jnp.bfloat16) for s in b_slices]
+    a_dev = jnp.asarray(a_slices, jnp.bfloat16)
+    b_dev = jnp.asarray(b_slices, jnp.bfloat16)
 
-    @jax.jit
-    def accumulate(a_list, b_list):
-        hi = jnp.zeros((m, n), jnp.float32)
-        lo = jnp.zeros((m, n), jnp.float32)
-        # Partials ordered by decreasing magnitude (i + j ascending) so the
-        # float-float accumulator absorbs them stably; the triangular
-        # truncation keeps diagonals up to i+j <= n_slices (one past the
-        # slice count, trimming the truncation error by 2^-slice_bits).
-        for s in range(n_slices + 1):
-            for i in range(s + 1):
-                j = s - i
-                if i >= n_slices or j >= n_slices:
-                    continue
-                p = matmul(a_list[i], b_list[j], config=config)
-                hi, err = _two_sum(hi, p)
-                lo = lo + err
-        return hi, lo
-
-    hi, lo = accumulate(a_dev, b_dev)
+    hi, lo = device_accumulate(a_dev, b_dev, config=config)
     return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def device_accumulate(a_slices, b_slices, *, config: GemmConfig):
+    """Device-resident part of the scheme: all slice-pair GEMMs + the
+    float-float accumulation.  Exposed so benchmarks can time compute
+    without host split/transfer costs.
+
+    Args:
+      a_slices: (n_slices, M, K) bf16; b_slices: (n_slices, K, N) bf16.
+    Returns (hi, lo) float32 with C ~= hi + lo.
+    """
+    from gemm_hls_tpu.ops.matmul import matmul
+
+    n_slices, m, _ = a_slices.shape
+    n = b_slices.shape[2]
+    hi = jnp.zeros((m, n), jnp.float32)
+    lo = jnp.zeros((m, n), jnp.float32)
+    # Partials ordered by decreasing magnitude (i + j ascending) so the
+    # float-float accumulator absorbs them stably; the triangular
+    # truncation keeps diagonals up to i+j <= n_slices (one past the
+    # slice count, trimming the truncation error by 2^-slice_bits).
+    for s in range(n_slices + 1):
+        for i in range(s + 1):
+            j = s - i
+            if i >= n_slices or j >= n_slices:
+                continue
+            p = matmul(a_slices[i], b_slices[j], config=config)
+            hi, err = _two_sum(hi, p)
+            lo = lo + err
+    return hi, lo

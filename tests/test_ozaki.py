@@ -60,3 +60,14 @@ def test_wide_dynamic_range():
     got = ozaki_matmul(a, b, interpret=True)
     rel = np.abs(got - exp) / np.maximum(np.abs(exp), 1e-300)
     assert rel.max() < 1e-8, f"max rel {rel.max():.2e}"
+
+
+def test_normwise_full_f64_accuracy():
+    # The scheme's guarantee is normwise: |C - C_exact| <= eps * ||a_i|| ||b_j||.
+    # Elementwise relative error can inflate at cancelled (near-zero) outputs.
+    a, b = make_operands(64, 64, 256, "float64", low=-5.0, high=5.0)
+    exp = a @ b
+    got = ozaki_matmul(a, b, interpret=True)
+    normwise = np.abs(got - exp) / (
+        np.linalg.norm(a, axis=1)[:, None] * np.linalg.norm(b, axis=0)[None, :])
+    assert normwise.max() < 1e-14, f"normwise {normwise.max():.2e}"

@@ -312,4 +312,10 @@ def matmul(
         raise ValueError(f"unknown backend {backend!r}")
     if sr.is_mxu:
         return _mxu_padded(a, b, config)
+    if (sr.name in ("min_plus", "max_plus")
+            and not config.transpose_a and not config.transpose_b):
+        # Differentiable tropical path: argmin/argmax subgradients
+        # (ops/tropical_grad.py); forward is the same VPU kernel.
+        from gemm_hls_tpu.ops.tropical_grad import tropical_matmul
+        return tropical_matmul(a, b, sr.name, config)
     return _vpu_dispatch(a, b, config, sr)

@@ -1,0 +1,94 @@
+"""Gradients for tropical semiring matmuls (min_plus / max_plus).
+
+C[i,j] = min_k (A[i,k] + B[k,j]) is piecewise linear; its subgradient
+routes each output's cotangent to the argmin index:
+
+    dA[i,k] = sum_j g[i,j] * 1[k attains the min for (i,j)] / ties[i,j]
+    dB[k,j] = sum_i g[i,j] * 1[k attains the min for (i,j)] / ties[i,j]
+
+(ties share the cotangent equally — the standard subgradient choice, and
+what makes e.g. differentiable shortest paths / DTW losses work).
+
+The forward pass is the regular VPU kernel; the backward pass recomputes
+the map in K-chunks (memory O(M * ck * N)) and uses equality against the
+stored output to recover the arg-reduce — no (M, K, N) materialization and
+no index storage in the forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gemm_hls_tpu.config import GemmConfig
+from gemm_hls_tpu.ops.semiring import get_semiring
+
+_SUPPORTED = ("min_plus", "max_plus")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def tropical_matmul(a, b, semiring_name: str, config: GemmConfig):
+    """Differentiable C = reduce_k (A[i,k] + B[k,j]) for min/max reduce."""
+    return _forward(a, b, semiring_name, config)
+
+
+def _forward(a, b, semiring_name, config):
+    from gemm_hls_tpu.ops.matmul import _vpu_dispatch
+
+    if semiring_name not in _SUPPORTED:
+        raise ValueError(
+            f"tropical_matmul supports {_SUPPORTED}, got {semiring_name!r}")
+    return _vpu_dispatch(a, b, config, get_semiring(semiring_name))
+
+
+def _fwd(a, b, semiring_name, config):
+    c = _forward(a, b, semiring_name, config)
+    return c, (a, b, c)
+
+
+def _bwd(semiring_name, config, res, g):
+    a, b, c = res
+    sr = get_semiring(semiring_name)
+    m, k = a.shape
+    n = b.shape[1]
+    ck = 128 if k >= 128 else k
+
+    kp = -(-k // ck) * ck
+    pad_val = sr.identity_for(a.dtype)  # padding never attains the reduce
+    a_p = jnp.pad(a, ((0, 0), (0, kp - k)), constant_values=pad_val)
+    b_p = jnp.pad(b, ((0, kp - k), (0, 0)), constant_values=0)
+    a_chunks = a_p.reshape(m, kp // ck, ck).transpose(1, 0, 2)  # (nc, m, ck)
+    b_chunks = b_p.reshape(kp // ck, ck, n)                     # (nc, ck, n)
+
+    def eq_chunk(a_c, b_c):
+        mapped = a_c[:, :, None] + b_c[None, :, :]              # (m, ck, n)
+        return mapped == c[:, None, :]
+
+    # Pass 1: tie counts per output element.
+    def count_step(acc, operands):
+        a_c, b_c = operands
+        return acc + jnp.sum(eq_chunk(a_c, b_c), axis=1,
+                             dtype=jnp.int32), None
+
+    ties, _ = jax.lax.scan(count_step, jnp.zeros((m, n), jnp.int32),
+                           (a_chunks, b_chunks))
+    g_shared = (g / jnp.maximum(ties, 1)).astype(jnp.float32)
+
+    # Pass 2: route cotangents through the equality mask.
+    def grad_step(_, operands):
+        a_c, b_c = operands
+        eq = eq_chunk(a_c, b_c).astype(jnp.float32)              # (m, ck, n)
+        da_c = jnp.einsum("mkn,mn->mk", eq, g_shared)
+        db_c = jnp.einsum("mkn,mn->kn", eq, g_shared)
+        return None, (da_c, db_c)
+
+    _, (da_chunks, db_chunks) = jax.lax.scan(grad_step, None,
+                                             (a_chunks, b_chunks))
+    da = da_chunks.transpose(1, 0, 2).reshape(m, kp)[:, :k].astype(a.dtype)
+    db = db_chunks.reshape(kp, n)[:k, :].astype(b.dtype)
+    return da, db
+
+
+tropical_matmul.defvjp(_fwd, _bwd)

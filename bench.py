@@ -152,6 +152,29 @@ def main():
         int8_gf = bench_one(
             "pallas int8", jax.jit(lambda x, y: matmul(x, y, config=cfg_i8)),
             (ai, bi))
+        # f64-class GEMM via Ozaki slices on the bf16 MXU (device-resident
+        # timing; the reference's double-precision headline is 132 GFLOP/s).
+        oz_gf = None
+        try:
+            from gemm_hls_tpu.ops.ozaki import (
+                device_accumulate, slice_plan, split_f64,
+            )
+            oz = 2048
+            rng = np.random.default_rng(5)
+            a64 = rng.uniform(-5.0, 5.0, (oz, oz))
+            b64 = rng.uniform(-5.0, 5.0, (oz, oz))
+            bits, ns = slice_plan(oz)
+            sa = jnp.asarray(split_f64(a64, bits, ns, axis=1), jnp.bfloat16)
+            sb = jnp.asarray(split_f64(b64, bits, ns, axis=0), jnp.bfloat16)
+            cfg_oz = GemmConfig(dtype="bfloat16", out_dtype="float32")
+            foz = jax.jit(lambda x, y: device_accumulate(x, y, config=cfg_oz))
+            t_oz = time_fn(foz, [(sa, sb)], iters=3)
+            oz_gf = gflops(oz, oz, oz, t_oz)
+            log(f"ozaki f64-class {oz}^3 (device): {t_oz * 1e3:.1f} ms -> "
+                f"{oz_gf:.0f} GFLOP/s")
+        except Exception as e:  # noqa: BLE001
+            log(f"ozaki bench FAILED: {e}")
+
         mp_size = 4096
         amp = a32[:mp_size, :mp_size]
         bmp = b32[:mp_size, :mp_size]
@@ -168,7 +191,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"min_plus bench FAILED: {e}")
     else:
-        int8_gf, t_mp = None, None
+        int8_gf, t_mp, oz_gf = None, None, None
 
     result = {
         "metric": f"bf16_gemm_{size}_gflops",
@@ -184,6 +207,7 @@ def main():
         "int8_gops": round(int8_gf, 1) if int8_gf else None,
         "min_plus_4096_vpu_gops": round(
             gflops(4096, 4096, 4096, t_mp), 1) if t_mp else None,
+        "f64_ozaki_2048_gflops": round(oz_gf, 1) if oz_gf else None,
         "chip": chip.name,
     }
     print(json.dumps(result))

@@ -112,6 +112,28 @@ def _mxu_bwd(cfg, res, g):
 _mxu_padded.defvjp(_mxu_fwd, _mxu_bwd)
 
 
+def _mxu_with_epilogue(a, b, cfg: GemmConfig, epilogue, ep_operands):
+    """Forward-only MXU matmul with a fused output epilogue."""
+    interpret = _resolve_interpret(cfg)
+    ta, tb = cfg.transpose_a, cfg.transpose_b
+    m, k = (a.shape[1], a.shape[0]) if ta else a.shape
+    n = b.shape[0] if tb else b.shape[1]
+    mp, np_, kp = cfg.padded_shape(m, n, k)
+    a_p = _pad2(a, kp, mp) if ta else _pad2(a, mp, kp)
+    b_p = _pad2(b, np_, kp) if tb else _pad2(b, kp, np_)
+    eps = []
+    for ep in ep_operands:
+        if ep.ndim != 1 or ep.shape[0] != n:
+            raise ValueError(f"epilogue operands must be (N,)=({n},), "
+                             f"got {ep.shape}")
+        eps.append(jnp.pad(ep, (0, np_ - n)).reshape(1, np_))
+    out = pallas_mxu.mxu_matmul(
+        a_p, b_p, *eps, cfg=cfg, transpose_a=ta, transpose_b=tb,
+        interpret=interpret, epilogue=epilogue,
+    )
+    return out[:m, :n]
+
+
 # ---------------------------------------------------------------------------
 # XLA backend (device-side Naive oracle / f64 path)
 # ---------------------------------------------------------------------------
@@ -217,6 +239,8 @@ def matmul(
     backend: Optional[str] = None,
     interpret: Optional[bool] = None,
     precision: Optional[str] = None,
+    epilogue=None,
+    epilogue_operands=(),
 ):
     """Communication-avoiding semiring matmul: C = reduce_k map(op(A), op(B)).
 
@@ -231,6 +255,14 @@ def matmul(
       backend: "pallas" (default on TPU; interpreter off-TPU), or "xla".
       interpret: force Pallas interpreter mode.
       precision: MXU precision override for float32 ("default"|"high"|"highest").
+      epilogue: optional output transform fused into the MXU kernel's store
+        (plus_times only): ``epilogue(acc_f32, *operand_blocks) -> array`` —
+        e.g. ``lambda acc, bias: jax.nn.relu(acc + bias)``. Saves a full
+        HBM round trip of C versus a separate elementwise pass. The fused
+        path is forward-only (no custom VJP); must be a module-level
+        function or cached partial to avoid jit-cache misses.
+      epilogue_operands: per-output-column arrays of shape (N,) (e.g. a
+        bias), passed to ``epilogue`` as (1, block_n) blocks.
 
     Returns (M, N) in ``config.out_dtype``.
     """
@@ -306,6 +338,12 @@ def matmul(
                 f"blocks ({config.block_m},{config.block_n},{config.block_k})"
             )
 
+    if epilogue is not None:
+        if backend != "pallas" or not sr.is_mxu:
+            raise ValueError("epilogue fusion requires the plus_times "
+                             "semiring on the pallas backend")
+        return _mxu_with_epilogue(a, b, config, epilogue,
+                                  tuple(epilogue_operands))
     if backend == "xla":
         return _xla_matmul(a, b, config, sr)
     if backend != "pallas":

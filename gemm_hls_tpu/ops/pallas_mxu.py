@@ -52,14 +52,21 @@ def _resolve_precision(cfg: GemmConfig):
     return _PRECISION[cfg.precision]
 
 
-def _kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, dims, precision,
-            out_dtype, debug=False):
+def _kernel(a_ref, b_ref, *refs, n_k_grid, dims, precision,
+            out_dtype, epilogue=None, debug=False):
     """One (block_m x block_n) C tile, one K-chunk per invocation.
 
     Grid is (m, n, k) with k innermost ("arbitrary"); the accumulator
     carries across the k steps — the analogue of the PE's n0/m0/k loop nest
     holding cBuffer stationary (``kernel/Compute.cpp:53-149``).
+
+    ``refs`` = (*epilogue_operand_refs, o_ref, acc_ref): an optional fused
+    epilogue (bias add, activation, scaling) is applied to the accumulator
+    before the store — saving one full HBM round trip of C versus a
+    separate elementwise pass (the fused analogue of the reference's
+    writeback conversion stage, ``kernel/Memory.cpp:323-359``).
     """
+    *ep_refs, o_ref, acc_ref = refs
 
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -75,7 +82,10 @@ def _kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, dims, precision,
 
     @pl.when(pl.program_id(2) == n_k_grid - 1)
     def _store():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+        acc = acc_ref[:]
+        if epilogue is not None:
+            acc = epilogue(acc, *(r[:] for r in ep_refs))
+        o_ref[:] = acc.astype(out_dtype)
         if debug:
             # Per-tile progress (reference kernel/Memory.cpp:384-389);
             # payload kept free of program_id so it lowers in both compiled
@@ -86,15 +96,20 @@ def _kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, dims, precision,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "transpose_a", "transpose_b", "interpret")
+    jax.jit, static_argnames=("cfg", "transpose_a", "transpose_b",
+                              "interpret", "epilogue")
 )
-def mxu_matmul(a, b, *, cfg: GemmConfig, transpose_a=False, transpose_b=False,
-               interpret=False):
+def mxu_matmul(a, b, *ep_operands, cfg: GemmConfig, transpose_a=False,
+               transpose_b=False, interpret=False, epilogue=None):
     """Padded/aligned plus-times matmul on the MXU.
 
     Args:
       a: (M, K) — or (K, M) when ``transpose_a`` (contraction over dim 0).
       b: (K, N) — or (N, K) when ``transpose_b`` (contraction over dim 1).
+      ep_operands: per-output-column (1, N) arrays fed to ``epilogue``.
+      epilogue: optional fused output transform applied to the fp32
+        accumulator before the store: ``epilogue(acc, *ep_blocks)`` with
+        ``acc`` (block_m, block_n) and each ep block (1, block_n).
     Shapes must already be multiples of the block sizes (``ops/matmul.py``
     owns padding/masking policy).
 
@@ -129,12 +144,19 @@ def mxu_matmul(a, b, *, cfg: GemmConfig, transpose_a=False, transpose_b=False,
     out_dtype = cfg.jout_dtype
     acc_dtype = cfg.jacc_dtype
 
+    for ep in ep_operands:
+        if ep.shape != (1, n):
+            raise ValueError(
+                f"epilogue operands must be shaped (1, N)=(1,{n}), "
+                f"got {ep.shape}")
+
     kernel = functools.partial(
         _kernel,
         n_k_grid=grid[2],
         dims=((a_contract,), (b_contract,)),
         precision=_resolve_precision(cfg),
         out_dtype=out_dtype,
+        epilogue=epilogue,
         debug=cfg.debug,
     )
 
@@ -156,6 +178,10 @@ def mxu_matmul(a, b, *, cfg: GemmConfig, transpose_a=False, transpose_b=False,
         in_specs=[
             pl.BlockSpec(a_block, a_index, memory_space=pltpu.VMEM),
             pl.BlockSpec(b_block, b_index, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM)
+            for _ in ep_operands
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
@@ -164,4 +190,4 @@ def mxu_matmul(a, b, *, cfg: GemmConfig, transpose_a=False, transpose_b=False,
         interpret=interpret,
         name=f"ca_gemm_mxu_{bm}x{bn}x{bk}",
         **kwargs,
-    )(a, b)
+    )(a, b, *ep_operands)

@@ -67,15 +67,34 @@ def batch_sharding(mesh: Mesh, dp: str = "dp"):
     return NamedSharding(mesh, P(dp, None))
 
 
-def mlp_forward(params: Params, x, *, config: Optional[GemmConfig] = None):
-    """Forward pass; every layer matmul is the framework's CA-GEMM."""
+def _bias_relu(acc, bias):
+    return jax.nn.relu(acc + bias)
+
+
+def _bias(acc, bias):
+    return acc + bias
+
+
+def mlp_forward(params: Params, x, *, config: Optional[GemmConfig] = None,
+                fused: bool = False):
+    """Forward pass; every layer matmul is the framework's CA-GEMM.
+
+    ``fused=True`` folds bias+activation into the kernel's store epilogue
+    (inference-only: the fused path has no custom VJP).
+    """
     if config is None:
         config = default_config(str(x.dtype))
     h = x
     for i, (w, b) in enumerate(params):
-        h = matmul(h, w, config=config) + b
-        if i + 1 < len(params):
-            h = jax.nn.relu(h)
+        last = i + 1 == len(params)
+        if fused:
+            h = matmul(h, w, config=config,
+                       epilogue=_bias if last else _bias_relu,
+                       epilogue_operands=(b,))
+        else:
+            h = matmul(h, w, config=config) + b
+            if not last:
+                h = jax.nn.relu(h)
     return h
 
 

@@ -177,3 +177,11 @@ def test_debug_progress_prints(capfd):
     jax.block_until_ready(out)
     captured = capfd.readouterr()
     assert "output tile" in captured.out + captured.err
+
+
+def test_float16():
+    a, b = make_operands(24, 130, 48, "float16")
+    exp = reference_matmul(a, b)
+    out = matmul(jnp.asarray(a), jnp.asarray(b),
+                 config=CFG.replace(dtype="float16", out_dtype="float32"))
+    verify_matmul(np.asarray(out), exp, rtol=1e-2)

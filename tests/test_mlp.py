@@ -87,3 +87,13 @@ def test_checkpoint_roundtrip_orbax(tmp_path):
     restored = load_checkpoint(p, like=params)
     np.testing.assert_array_equal(np.asarray(params[0][0]),
                                   np.asarray(restored[0][0]))
+
+
+def test_fused_inference_matches_unfused():
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, DIMS)
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, DIMS[0]), jnp.float32)
+    ref = mlp_forward(params, x, config=CFG)
+    fused = mlp_forward(params, x, config=CFG, fused=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)

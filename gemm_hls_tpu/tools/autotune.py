@@ -1,0 +1,144 @@
+"""Problem-keyed autotuner with a persistent result cache.
+
+The reference's configuration story is offline: ``build_manager.py`` sweeps
+CMake configs for hours and the operator picks winners from CSVs.  On TPU a
+"build" is a jit compile measured in seconds, so tuning can be online: probe
+a handful of feasible block configurations on the actual problem shape, pick
+the fastest, and memoize per (chip, dtype, semiring, shape-bucket) in a JSON
+cache so later runs skip the probe.
+
+    from gemm_hls_tpu.tools.autotune import autotune
+    cfg = autotune(8192, 8192, 8192, dtype="bfloat16")
+    c = matmul(a, b, config=cfg)
+
+CLI:
+    python -m gemm_hls_tpu.tools.autotune 8192 8192 8192 --dtype bfloat16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+from pathlib import Path
+from typing import List, Optional
+
+from gemm_hls_tpu.config import GemmConfig
+from gemm_hls_tpu.ops.semiring import get_semiring
+
+DEFAULT_CACHE = os.path.expanduser("~/.cache/gemm_hls_tpu/autotune.json")
+
+
+def _bucket(x: int) -> int:
+    """Shape bucket: next power of two (configs generalize within a bucket)."""
+    return 1 << max(0, math.ceil(math.log2(max(x, 1))))
+
+
+def _key(chip: str, dtype: str, semiring: str, m: int, n: int, k: int) -> str:
+    return f"{chip}/{dtype}/{semiring}/{_bucket(m)}x{_bucket(n)}x{_bucket(k)}"
+
+
+def _load(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _store(path: str, data: dict):
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def candidate_configs(m: int, n: int, k: int, dtype: str, semiring: str,
+                      max_candidates: int = 6) -> List[GemmConfig]:
+    """Feasible, problem-clamped candidates (seeded by measured winners)."""
+    sr = get_semiring(semiring)
+    if sr.is_mxu:
+        raw = [(512, 1024, 1024), (512, 1024, 4096), (2048, 1024, 512),
+               (512, 512, 1024), (512, 512, 2048), (1024, 1024, 1024)]
+        vmem = 110 * 1024 * 1024
+    else:
+        raw = [(64, 2048, 512), (32, 2048, 512), (128, 1024, 512),
+               (64, 1024, 512), (128, 512, 512), (16, 2048, 512)]
+        vmem = 128 * 1024 * 1024
+    out = []
+    for bm, bn, bk in raw:
+        cfg = GemmConfig(dtype=dtype, semiring=semiring,
+                         block_m=min(bm, _bucket(m)), block_n=min(bn, _bucket(n)),
+                         block_k=min(bk, _bucket(k)), vmem_limit_bytes=vmem)
+        try:
+            cfg.validate()
+        except ValueError:
+            continue
+        if cfg not in out:
+            out.append(cfg)
+        if len(out) >= max_candidates:
+            break
+    return out
+
+
+def autotune(m: int, n: int, k: int, *, dtype: str = "bfloat16",
+             semiring: str = "plus_times", cache_path: str = DEFAULT_CACHE,
+             iters: int = 5, force: bool = False,
+             verbose: bool = False) -> GemmConfig:
+    """Best measured GemmConfig for this problem (cached)."""
+    from gemm_hls_tpu.models.perf_model import detect_chip
+    from gemm_hls_tpu.tools.sweep import run_one
+
+    chip = detect_chip()
+    key = _key(chip.name, dtype, semiring, m, n, k)
+    cache = _load(cache_path)
+    if key in cache and not force:
+        e = cache[key]
+        return GemmConfig(dtype=dtype, semiring=semiring,
+                          block_m=e["block_m"], block_n=e["block_n"],
+                          block_k=e["block_k"],
+                          vmem_limit_bytes=e.get("vmem_limit_bytes",
+                                                 96 * 1024 * 1024))
+
+    best, best_gf = None, -1.0
+    for cfg in candidate_configs(m, n, k, dtype, semiring):
+        res = run_one(cfg, m, n, k, verify=False, iters=iters)
+        if verbose:
+            print(f"  ({cfg.block_m},{cfg.block_n},{cfg.block_k}) -> "
+                  f"{res.status}"
+                  + (f" {res.gflops:.0f} GOp/s" if res.gflops else ""))
+        if res.status == "ok" and res.gflops and res.gflops > best_gf:
+            best, best_gf = cfg, res.gflops
+    if best is None:
+        raise RuntimeError(f"autotune: no feasible configuration for {key}")
+
+    cache[key] = {"block_m": best.block_m, "block_n": best.block_n,
+                  "block_k": best.block_k,
+                  "vmem_limit_bytes": best.vmem_limit_bytes,
+                  "gflops": round(best_gf, 1)}
+    _store(cache_path, cache)
+    return best
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("m", type=int)
+    p.add_argument("n", type=int)
+    p.add_argument("k", type=int)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--semiring", default="plus_times")
+    p.add_argument("--cache", default=DEFAULT_CACHE)
+    p.add_argument("--force", action="store_true")
+    args = p.parse_args(argv)
+    cfg = autotune(args.m, args.n, args.k, dtype=args.dtype,
+                   semiring=args.semiring, cache_path=args.cache,
+                   force=args.force, verbose=True)
+    print(f"best: block_m={cfg.block_m} block_n={cfg.block_n} "
+          f"block_k={cfg.block_k}")
+    return cfg
+
+
+if __name__ == "__main__":
+    main()

@@ -34,45 +34,46 @@ def time_fn(fn: Callable, args_sets: Sequence[Tuple], *, iters: int = 10,
     of the checksum cannot complete before every iteration has executed.
     One transport round trip total.
 
+    The fixed per-measurement cost (dispatch + scalar-fetch round trip,
+    ~15-30 ms and load-dependent on remote-attached chips) is cancelled
+    exactly by the two-point slope: the same on-device loop is timed at two
+    iteration counts and the per-iteration time is
+    (t(n2) - t(n1)) / (n2 - n1).
+
     Args:
       fn: jittable callable returning an array (or pytree; first leaf used).
       args_sets: argument tuples; the on-device loop uses the first set (the
         barrier defeats caching, so one set suffices).
+      iters: n2 - n1 (the iteration count the slope averages over).
     """
     args = args_sets[0]
 
-    def repeated(*xs):
-        def body(_, s):
-            barred = jax.lax.optimization_barrier(tuple(xs) + (s,))
-            out = fn(*barred[:-1])
-            leaf = jax.tree.leaves(out)[0]
-            return barred[-1] + jnp.sum(leaf.astype(jnp.float32))
-        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+    def make(n):
+        def repeated(*xs):
+            def body(_, s):
+                barred = jax.lax.optimization_barrier(tuple(xs) + (s,))
+                out = fn(*barred[:-1])
+                leaf = jax.tree.leaves(out)[0]
+                return barred[-1] + jnp.sum(leaf.astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body,
+                                     jnp.zeros((), jnp.float32))
+        return jax.jit(repeated)
 
-    g = jax.jit(repeated)
-    float(g(*args))  # compile + warm (covers `warmup`)
-    t0 = time.perf_counter()
-    float(g(*args))  # single fetch dependent on all iterations
-    per_iter = (time.perf_counter() - t0) / iters
-    # Subtract harness overhead, but never report < 5% of the raw
-    # measurement (guards against calibration variance inventing speed).
-    return max(per_iter - _loop_overhead(), per_iter * 0.05)
+    n1 = max(1, warmup)
+    n2 = n1 + iters
+    g1, g2 = make(n1), make(n2)
+    float(g1(*args))  # compile + warm g1
+    float(g2(*args))  # compile + warm g2
 
+    def measure(g):
+        t0 = time.perf_counter()
+        float(g(*args))  # single fetch dependent on all iterations
+        return time.perf_counter() - t0
 
-_OVERHEAD_CACHE: dict = {}
-
-
-def _loop_overhead() -> float:
-    """Per-iteration cost of the timing loop itself (barrier + checksum +
-    launch), calibrated once per process with a trivial kernel (~0.5 ms on
-    remote-attached chips, ~0 locally) and subtracted from measurements."""
-    backend = jax.default_backend()
-    if backend not in _OVERHEAD_CACHE:
-        _OVERHEAD_CACHE[backend] = 0.0  # so the nested time_fn subtracts 0
-        x = jnp.ones((8, 128), jnp.float32)
-        trivial = jax.jit(lambda v: v)
-        _OVERHEAD_CACHE[backend] = time_fn(trivial, [(x,)], iters=30)
-    return _OVERHEAD_CACHE[backend]
+    # Median of 3 slopes guards against RTT jitter on either endpoint.
+    slopes = sorted((measure(g2) - measure(g1)) / (n2 - n1)
+                    for _ in range(3))
+    return max(slopes[1], 1e-9)
 
 
 def gflops(m: int, n: int, k: int, seconds: float) -> float:

@@ -206,8 +206,9 @@ def _vpu_dispatch(a, b, cfg: GemmConfig, sr: Semiring):
 
     cast_bool = a_l.dtype == jnp.bool_
     if cast_bool:
-        # Boolean semirings ride int32 lanes on device: and -> min, or -> max
-        # over {0,1}; the registry keeps the logical ops for the oracle.
+        # Boolean reachability rides int32 lanes on device: and -> min,
+        # or -> max over {0,1}; the registry keeps the logical ops for the
+        # oracle.  (Only or_and reaches here — see supports_dtype gate.)
         a_l, b_l = a_l.astype(jnp.int32), b_l.astype(jnp.int32)
         sr = Semiring(name=sr.name + "_int", map_op=jnp.minimum,
                       reduce_op=jnp.maximum, identity=0,
@@ -316,15 +317,13 @@ def matmul(
         raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
     if a.dtype != b.dtype:
         raise ValueError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
-    if not sr.supports_dtype(a.dtype) and a.dtype != jnp.bool_:
+    if not sr.supports_dtype(a.dtype):
         raise ValueError(f"semiring {sr.name} does not support dtype {a.dtype}")
 
     if backend is None:
         backend = "pallas"
         if np.dtype(config.dtype) == np.float64 and _on_tpu():
             backend = "xla"  # Mosaic has no f64; XLA emulates it on TPU.
-        if a.dtype == jnp.bool_ and sr.is_mxu:
-            backend = "xla"
 
     interp = _resolve_interpret(config)
     config.validate(strict_alignment=(backend == "pallas" and not interp))

@@ -102,3 +102,29 @@ def test_vmap_over_matmul():
     for i in range(8):
         verify_matmul(np.asarray(out[i]),
                       a3[i].astype(np.float64) @ b3[i].astype(np.float64))
+
+
+def test_vpu_out_dtype_override():
+    a, b = make_operands(16, 128, 32, "float32")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="min_plus",
+                 config=CFG, out_dtype="bfloat16")
+    assert str(out.dtype) == "bfloat16"
+
+
+def test_acc_dtype_override():
+    from gemm_hls_tpu.config import GemmConfig
+    cfg = CFG.replace(acc_dtype="float32", dtype="bfloat16")
+    a, b = make_operands(16, 128, 32, "bfloat16")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="max_plus",
+                 config=cfg, out_dtype="float32")
+    exp = reference_matmul(a, b, semiring="max_plus")
+    verify_matmul(np.asarray(out), exp, rtol=1e-2)
+
+
+def test_bool_rejected_for_arithmetic_semiring():
+    import pytest
+    a, b = make_operands(8, 8, 8, "bool")
+    # plus_times on bool routes to XLA (documented); min_plus on bool is
+    # rejected by supports_dtype.
+    with pytest.raises(ValueError, match="does not support"):
+        matmul(jnp.asarray(a), jnp.asarray(b), semiring="min_plus", config=CFG)

@@ -48,6 +48,8 @@ def main():
             dict(block_m=512, block_n=1024, block_k=1024),
             dict(block_m=2048, block_n=1024, block_k=512),
             dict(block_m=512, block_n=1024, block_k=4096),
+            dict(block_m=512, block_n=1024, block_k=8192),
+            dict(block_m=1024, block_n=1024, block_k=4096),
         ]
         iters, verify_size = 10, 1024
     else:  # CPU smoke mode so the script stays runnable anywhere

@@ -38,7 +38,6 @@ from gemm_hls_tpu.config import (
 )
 from gemm_hls_tpu.ops.semiring import Semiring, get_semiring
 from gemm_hls_tpu.ops import pallas_mxu, pallas_vpu
-from gemm_hls_tpu.ops.pallas_vpu import fold_axis
 
 
 def _on_tpu() -> bool:

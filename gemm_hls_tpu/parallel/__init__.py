@@ -3,7 +3,9 @@ from gemm_hls_tpu.parallel.summa import (
     summa_matmul, cannon_matmul, shard_operands_2d,
 )
 from gemm_hls_tpu.parallel.grid25d import matmul_25d, shard_operands_25d
-from gemm_hls_tpu.parallel.staging import streamed_matmul, streamed_matmul_files
+from gemm_hls_tpu.parallel.staging import (
+    distributed_streamed_matmul, streamed_matmul, streamed_matmul_files,
+)
 
 __all__ = [
     "make_mesh",
@@ -13,6 +15,7 @@ __all__ = [
     "shard_operands_2d",
     "matmul_25d",
     "shard_operands_25d",
+    "distributed_streamed_matmul",
     "streamed_matmul",
     "streamed_matmul_files",
 ]

@@ -70,6 +70,69 @@ def streamed_matmul_files(a_file, b_file, c_file, *, semiring="plus_times",
                 acc.astype(jnp.dtype(str(c_file.dtype)))))
 
 
+def distributed_streamed_matmul(a: np.ndarray, b: np.ndarray, mesh, *,
+                                semiring="plus_times",
+                                config: Optional[GemmConfig] = None,
+                                tile_m: int = 16384, tile_n: int = 16384,
+                                tile_k: int = 16384,
+                                algorithm: str = "summa",
+                                out_dtype=None) -> np.ndarray:
+    """Out-of-HBM GEMM over a device mesh: host DRAM holds the problem,
+    each stationary C host-tile is computed by the distributed CA-GEMM
+    (SUMMA or 2.5D) with K-panels streamed host -> mesh.
+
+    This is BASELINE config #5's full shape — the reference's DDR->BRAM
+    outer-tile loop (``kernel/Memory.cpp``) wrapped around the multi-chip
+    decomposition instead of a single kernel.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gemm_hls_tpu.parallel.grid25d import matmul_25d
+    from gemm_hls_tpu.parallel.summa import summa_matmul
+
+    sr = get_semiring(semiring)
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
+    out_dt = np.dtype(out_dtype) if out_dtype is not None else a.dtype
+    acc_np = None
+    out = np.empty((m, n), dtype=out_dt)
+
+    if algorithm == "summa":
+        axes = ("x", "y")
+        a_spec = P("x", "y")
+        b_spec = P("x", "y")
+        dist = lambda x, y: summa_matmul(x, y, mesh, semiring=sr,  # noqa: E731
+                                         config=config)
+    elif algorithm == "25d":
+        from gemm_hls_tpu.parallel.grid25d import shard_operands_25d
+        a_spec = P("x", ("z", "y"))
+        b_spec = P(("z", "x"), "y")
+        dist = lambda x, y: matmul_25d(x, y, mesh, semiring=sr,  # noqa: E731
+                                       config=config)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    kp = cdiv(k, tile_k)
+    for i0 in range(0, m, tile_m):
+        i1 = min(m, i0 + tile_m)
+        for j0 in range(0, n, tile_n):
+            j1 = min(n, j0 + tile_n)
+            acc_np = None
+            for kk in range(kp):
+                k0, k1 = kk * tile_k, min(k, (kk + 1) * tile_k)
+                a_panel = jax.device_put(
+                    a[i0:i1, k0:k1], NamedSharding(mesh, a_spec))
+                b_panel = jax.device_put(
+                    b[k0:k1, j0:j1], NamedSharding(mesh, b_spec))
+                partial = np.asarray(dist(a_panel, b_panel))
+                acc_np = partial if acc_np is None else np.asarray(
+                    sr.np_reduce(acc_np, partial))
+            out[i0:i1, j0:j1] = acc_np.astype(out_dt)
+    return out
+
+
 def streamed_matmul(a: np.ndarray, b: np.ndarray, *, semiring="plus_times",
                     config: Optional[GemmConfig] = None,
                     tile_m: int = 8192, tile_n: int = 8192,

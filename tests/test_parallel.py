@@ -127,3 +127,24 @@ def test_streamed_matmul_min_plus():
     out = streamed_matmul(a, b, semiring="min_plus", tile_m=16, tile_n=16,
                           tile_k=32)
     verify_matmul(out, exp)
+
+
+def test_distributed_streamed_summa():
+    from gemm_hls_tpu.parallel import distributed_streamed_matmul
+    mesh = make_mesh((2, 4))
+    a, b = make_operands(32, 64, 128, "float32")
+    exp = reference_matmul(a, b)
+    out = distributed_streamed_matmul(a, b, mesh, tile_m=16, tile_n=32,
+                                      tile_k=64)
+    verify_matmul(out, exp)
+
+
+def test_distributed_streamed_25d_min_plus():
+    from gemm_hls_tpu.parallel import distributed_streamed_matmul
+    mesh = mesh_25d(c=2)
+    a, b = make_operands(32, 32, 128, "float32")
+    exp = reference_matmul(a, b, semiring="min_plus")
+    out = distributed_streamed_matmul(a, b, mesh, algorithm="25d",
+                                      semiring="min_plus", tile_m=16,
+                                      tile_n=16, tile_k=64)
+    verify_matmul(out, exp)

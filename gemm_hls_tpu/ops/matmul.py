@@ -273,7 +273,8 @@ def matmul(
         # broadcast across the batch).
         kw = dict(semiring=semiring, config=config, transpose_a=transpose_a,
                   transpose_b=transpose_b, out_dtype=out_dtype,
-                  backend=backend, interpret=interpret, precision=precision)
+                  backend=backend, interpret=interpret, precision=precision,
+                  epilogue=epilogue, epilogue_operands=epilogue_operands)
         in_axes = (0 if a.ndim == 3 else None, 0 if b.ndim == 3 else None)
         return jax.vmap(lambda x, y: matmul(x, y, **kw), in_axes=in_axes)(a, b)
     if a.ndim != 2 or b.ndim != 2:

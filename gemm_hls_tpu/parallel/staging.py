@@ -106,7 +106,6 @@ def distributed_streamed_matmul(a: np.ndarray, b: np.ndarray, mesh, *,
         dist = lambda x, y: summa_matmul(x, y, mesh, semiring=sr,  # noqa: E731
                                          config=config)
     elif algorithm == "25d":
-        from gemm_hls_tpu.parallel.grid25d import shard_operands_25d
         a_spec = P("x", ("z", "y"))
         b_spec = P(("z", "x"), "y")
         dist = lambda x, y: matmul_25d(x, y, mesh, semiring=sr,  # noqa: E731

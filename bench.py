@@ -150,7 +150,7 @@ def main():
                     jax.random.randint(kb, (k, n), -10, 10, jnp.int8))
         ai, bi = gen_i8(7)
         cfg_i8 = GemmConfig(dtype="int8", out_dtype="int32", block_m=512,
-                            block_n=1024, block_k=1024)
+                            block_n=1024, block_k=8192)
         int8_gf = bench_one(
             "pallas int8", jax.jit(lambda x, y: matmul(x, y, config=cfg_i8)),
             (ai, bi))

@@ -1,0 +1,122 @@
+"""Hardware self-test: one command to verify the full compute surface on
+the current backend (compiled kernels on TPU; interpreter on CPU).
+
+    python -m gemm_hls_tpu.tools.selftest [--quick]
+
+The hardware-validation counterpart of the CPU test suite — the analogue of
+running ``RunHardware.exe ... on`` across the supported configuration space
+(reference ``host/RunHardware.cpp:199-227``): every dtype/semiring/shape
+class is executed end-to-end and compared against the host oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--quick", action="store_true",
+                   help="smaller shapes (skip the 1024^3 checks)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gemm_hls_tpu import GemmConfig, matmul
+    from gemm_hls_tpu.ops.ozaki import ozaki_matmul
+    from gemm_hls_tpu.utils.verify import (
+        check_result, make_operands, reference_matmul,
+    )
+
+    big = 256 if args.quick else 1024
+    results = []
+
+    def check(name, fn):
+        t0 = time.perf_counter()
+        try:
+            ok, err = fn()
+            status = "PASS" if ok else "FAIL"
+        except Exception as e:  # noqa: BLE001
+            ok, err, status = False, None, f"ERROR ({type(e).__name__}: {e})"
+        dt = time.perf_counter() - t0
+        detail = f" maxerr={err:.2e}" if isinstance(err, float) else ""
+        print(f"[{status}] {name}{detail} ({dt:.1f}s)", flush=True)
+        results.append(ok)
+
+    def gemm_case(m, n, k, dtype, semiring="plus_times", rtol=None, **kw):
+        def run():
+            a, b = make_operands(m, n, k, dtype)
+            out = jax.jit(lambda x, y: matmul(x, y, semiring=semiring,
+                                              **kw))(jnp.asarray(a),
+                                                     jnp.asarray(b))
+            exp = reference_matmul(a, b, semiring=semiring)
+            return check_result(np.asarray(out), exp, rtol=rtol)
+        return run
+
+    backend = jax.default_backend()
+    print(f"selftest on backend={backend}, devices={len(jax.devices())}")
+
+    check(f"fp32 {big}^3 MXU (1e-3 regime)", gemm_case(big, big, big, "float32"))
+    check(f"bf16 {big}^3 MXU fp32-acc",
+          gemm_case(big, big, big, "bfloat16", rtol=1e-2,
+                    out_dtype="float32"))
+    check("unaligned 333x517x129 fp32", gemm_case(333, 517, 129, "float32"))
+    check("int8 -> int32 MXU",
+          gemm_case(256, 256, 512, "int8", out_dtype="int32"))
+    check("min_plus VPU (distance product)",
+          gemm_case(256, 512, 300, "float32", semiring="min_plus"))
+    check("max_min VPU (widest path)",
+          gemm_case(128, 256, 200, "float32", semiring="max_min"))
+    check("or_and bool reachability",
+          gemm_case(64, 128, 96, "bool", semiring="or_and"))
+
+    def grad_check():
+        a, b = make_operands(64, 128, 96, "float32")
+        a, b = jnp.asarray(a), jnp.asarray(b)
+        ga = jax.grad(lambda x: jnp.sum(matmul(x, b) ** 2))(a)
+        ra = 2.0 * (np.asarray(a) @ np.asarray(b)) @ np.asarray(b).T
+        return check_result(np.asarray(ga), ra.astype(np.float64), rtol=1e-3)
+    check("custom VJP gradient", grad_check)
+
+    def ozaki_check():
+        rng = np.random.default_rng(5)
+        a = rng.uniform(-5, 5, (128, 256))
+        b = rng.uniform(-5, 5, (256, 128))
+        got = ozaki_matmul(a, b)
+        exp = a @ b
+        normw = float((np.abs(got - exp) /
+                       (np.linalg.norm(a, axis=1)[:, None]
+                        * np.linalg.norm(b, axis=0)[None, :])).max())
+        return normw < 1e-13, normw
+    check("f64-class Ozaki (normwise < 1e-13)", ozaki_check)
+
+    def epilogue_check():
+        a, b = make_operands(64, 128, 96, "float32", low=-3.0, high=3.0)
+        bias = np.linspace(-2, 2, 128).astype(np.float32)
+        out = jax.jit(lambda x, y, z: matmul(
+            x, y, epilogue=_bias_relu, epilogue_operands=(z,)))(
+                jnp.asarray(a), jnp.asarray(b), jnp.asarray(bias))
+        exp = np.maximum(a.astype(np.float64) @ b + bias, 0.0)
+        # Scale-aware compare: ReLU outputs crossing zero make element-wise
+        # relative error meaningless at the kink.
+        err = float((np.abs(np.asarray(out) - exp)
+                     / np.maximum(np.abs(exp), 1.0)).max())
+        return err < 1e-3, err
+    check("fused bias+relu epilogue", epilogue_check)
+
+    n_pass = sum(results)
+    print(f"{n_pass}/{len(results)} checks passed")
+    return 0 if n_pass == len(results) else 1
+
+
+def _bias_relu(acc, bias):
+    import jax
+    return jax.nn.relu(acc + bias)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

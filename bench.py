@@ -135,12 +135,12 @@ def main():
 
     a32, b32 = gen(6, jnp.float32)
     f32_gf = bench_one(
-        "pallas fp32 (1e-3 regime)",
+        "pallas fp32 (full accuracy, default)",
         jax.jit(lambda x, y: matmul(x, y, config=cfg_f32)), (a32, b32))
-    f32_hi_gf = bench_one(
-        "pallas fp32 precision=high",
+    f32_fast_gf = bench_one(
+        "pallas fp32 fast mode (~5e-4 err)",
         jax.jit(lambda x, y: matmul(
-            x, y, config=cfg_f32.replace(precision="high"))), (a32, b32))
+            x, y, config=cfg_f32.replace(precision="default"))), (a32, b32))
 
     if on_tpu:
         @jax.jit
@@ -204,8 +204,8 @@ def main():
             percent_of_peak(best_gf, chip.peak_for("bfloat16")), 1),
         "vs_xla_dot": round(best_gf / xla_gf, 3) if xla_gf else None,
         "blocks": [best_cfg.block_m, best_cfg.block_n, best_cfg.block_k],
-        "fp32_gflops_1e3_regime": round(f32_gf, 1) if f32_gf else None,
-        "fp32_gflops_high_precision": round(f32_hi_gf, 1) if f32_hi_gf else None,
+        "fp32_gflops": round(f32_gf, 1) if f32_gf else None,
+        "fp32_gflops_fast": round(f32_fast_gf, 1) if f32_fast_gf else None,
         "int8_gops": round(int8_gf, 1) if int8_gf else None,
         "min_plus_4096_vpu_gops": round(
             gflops(4096, 4096, 4096, t_mp), 1) if t_mp else None,

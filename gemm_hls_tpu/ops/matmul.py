@@ -93,6 +93,9 @@ def _mxu_bwd(cfg, res, g):
     def run(x, y, tx, ty, out_shape, out_dtype):
         c = cfg.replace(transpose_a=tx, transpose_b=ty,
                         out_dtype=str(np.dtype(out_dtype)))
+        if tx:
+            # Transposed A puts block_m on the lane dim (must be %128).
+            c = c.replace(block_m=round_up(c.block_m, LANE))
         return _mxu_padded(x, y, c)
 
     # See derivation in docstring of this module: with op_t the optional
@@ -305,8 +308,9 @@ def matmul(
         m_dim = a.shape[1] if config.transpose_a else a.shape[0]
         n_dim = b.shape[0] if config.transpose_b else b.shape[1]
         k_dim = a.shape[0] if config.transpose_a else a.shape[1]
+        m_align = LANE if config.transpose_a else sublane(config.dtype)
         config = config.replace(
-            block_m=min(config.block_m, round_up(m_dim, sublane(config.dtype))),
+            block_m=min(config.block_m, round_up(m_dim, m_align)),
             block_n=min(config.block_n, round_up(n_dim, LANE)),
             block_k=min(config.block_k, round_up(k_dim, LANE)),
         )

@@ -100,7 +100,6 @@ def distributed_streamed_matmul(a: np.ndarray, b: np.ndarray, mesh, *,
     out = np.empty((m, n), dtype=out_dt)
 
     if algorithm == "summa":
-        axes = ("x", "y")
         a_spec = P("x", "y")
         b_spec = P("x", "y")
         dist = lambda x, y: summa_matmul(x, y, mesh, semiring=sr,  # noqa: E731

@@ -128,3 +128,13 @@ def test_bool_rejected_for_arithmetic_semiring():
     # rejected by supports_dtype.
     with pytest.raises(ValueError, match="does not support"):
         matmul(jnp.asarray(a), jnp.asarray(b), semiring="min_plus", config=CFG)
+
+
+def test_min_plus_int8_widened_acc():
+    # int8 inputs accumulate in int32 on the VPU path (width conversion).
+    a, b = make_operands(9, 129, 40, "int8", low=1, high=5)
+    exp = reference_matmul(a, b, semiring="min_plus")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="min_plus",
+                 config=CFG.replace(dtype="int8"), out_dtype="int32")
+    assert out.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out), exp)

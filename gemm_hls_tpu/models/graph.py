@@ -66,6 +66,30 @@ def transitive_closure(adj, *, config: Optional[GemmConfig] = None,
     return r
 
 
+def pagerank(adj, *, damping: float = 0.85, iters: int = 50,
+             config: Optional[GemmConfig] = None,
+             matmul_fn: Optional[Callable] = None):
+    """PageRank by power iteration on the (+, x) semiring.
+
+    Args:
+      adj: (n, n) adjacency matrix (adj[i, j] != 0 means an edge i -> j).
+    Returns the stationary rank vector (n,).
+    """
+    n = adj.shape[0]
+    adj = jnp.asarray(adj, jnp.float32)
+    out_deg = jnp.maximum(jnp.sum(adj != 0, axis=1, keepdims=True), 1)
+    # Column-stochastic transition matrix, dangling nodes -> uniform.
+    t = jnp.where(adj != 0, 1.0 / out_deg, 0.0).astype(jnp.float32)
+    dangling = (jnp.sum(adj != 0, axis=1) == 0).astype(jnp.float32)
+    r = jnp.full((n, 1), 1.0 / n, jnp.float32)
+    mm = matmul_fn or (lambda x, y: matmul(x, y, config=config))
+    for _ in range(iters):
+        flow = mm(t.T, r)  # (n, 1)
+        leak = jnp.sum(dangling[:, None] * r) / n
+        r = damping * (flow + leak) + (1.0 - damping) / n
+    return r[:, 0]
+
+
 def widest_paths(cap, *, config: Optional[GemmConfig] = None,
                  matmul_fn: Optional[Callable] = None):
     """All-pairs bottleneck (maximum-capacity) paths in (max, min).

@@ -69,3 +69,22 @@ def test_widest_paths():
             np.minimum(exp[:, :, None], exp[None, :, :]), axis=1))
     got = widest_paths(jnp.asarray(cap), config=CFG)
     np.testing.assert_allclose(np.asarray(got), exp)
+
+
+def test_pagerank_matches_networkx_style_reference():
+    from gemm_hls_tpu.models.graph import pagerank
+    n = 32
+    rng = np.random.default_rng(11)
+    adj = (rng.uniform(size=(n, n)) < 0.2).astype(np.float32)
+    np.fill_diagonal(adj, 0.0)
+    r = np.asarray(pagerank(jnp.asarray(adj), config=CFG, iters=100))
+    # Reference power iteration in numpy.
+    out_deg = np.maximum((adj != 0).sum(axis=1, keepdims=True), 1)
+    t = np.where(adj != 0, 1.0 / out_deg, 0.0)
+    dangling = ((adj != 0).sum(axis=1) == 0).astype(np.float64)
+    exp = np.full(n, 1.0 / n)
+    for _ in range(100):
+        leak = (dangling * exp).sum() / n
+        exp = 0.85 * (t.T @ exp + leak) + 0.15 / n
+    np.testing.assert_allclose(r, exp, rtol=1e-4)
+    np.testing.assert_allclose(r.sum(), 1.0, rtol=1e-3)

@@ -353,9 +353,10 @@ def matmul(
         raise ValueError(f"unknown backend {backend!r}")
     if sr.is_mxu:
         return _mxu_padded(a, b, config)
-    if (sr.name in ("min_plus", "max_plus")
+    if (sr.name in ("min_plus", "max_plus", "log_plus")
             and not config.transpose_a and not config.transpose_b):
-        # Differentiable tropical path: argmin/argmax subgradients
+        # Differentiable additive-map path: argmin/argmax subgradients, or
+        # softmax weights for the smooth log semiring
         # (ops/tropical_grad.py); forward is the same VPU kernel.
         from gemm_hls_tpu.ops.tropical_grad import tropical_matmul
         return tropical_matmul(a, b, sr.name, config)

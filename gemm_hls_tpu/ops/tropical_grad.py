@@ -1,18 +1,24 @@
-"""Gradients for tropical semiring matmuls (min_plus / max_plus).
+"""Gradients for additive-map semiring matmuls.
 
-C[i,j] = min_k (A[i,k] + B[k,j]) is piecewise linear; its subgradient
-routes each output's cotangent to the argmin index:
+* ``min_plus`` / ``max_plus``: C[i,j] = min_k (A[i,k] + B[k,j]) is
+  piecewise linear; the subgradient routes each output's cotangent to the
+  argmin index, with ties sharing it equally:
 
-    dA[i,k] = sum_j g[i,j] * 1[k attains the min for (i,j)] / ties[i,j]
-    dB[k,j] = sum_i g[i,j] * 1[k attains the min for (i,j)] / ties[i,j]
+      dA[i,k] = sum_j g[i,j] * 1[k attains the reduce for (i,j)] / ties[i,j]
 
-(ties share the cotangent equally — the standard subgradient choice, and
-what makes e.g. differentiable shortest paths / DTW losses work).
+  — the standard choice that makes differentiable shortest paths / DTW
+  losses work.
+
+* ``log_plus``: C[i,j] = logsumexp_k (A[i,k] + B[k,j]) is smooth; the
+  gradient is the softmax weight of each term:
+
+      dA[i,k] = sum_j g[i,j] * exp(A[i,k] + B[k,j] - C[i,j])
+
+  — the soft relaxation of the tropical case (HMM forward/backward).
 
 The forward pass is the regular VPU kernel; the backward pass recomputes
-the map in K-chunks (memory O(M * ck * N)) and uses equality against the
-stored output to recover the arg-reduce — no (M, K, N) materialization and
-no index storage in the forward.
+the map in K-chunks (memory O(M * ck * N)) against the stored output — no
+(M, K, N) materialization and no index storage in the forward.
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ import jax.numpy as jnp
 from gemm_hls_tpu.config import GemmConfig
 from gemm_hls_tpu.ops.semiring import get_semiring
 
-_SUPPORTED = ("min_plus", "max_plus")
+_SUPPORTED = ("min_plus", "max_plus", "log_plus")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -62,26 +68,35 @@ def _bwd(semiring_name, config, res, g):
     a_chunks = a_p.reshape(m, kp // ck, ck).transpose(1, 0, 2)  # (nc, m, ck)
     b_chunks = b_p.reshape(kp // ck, ck, n)                     # (nc, ck, n)
 
-    def eq_chunk(a_c, b_c):
+    soft = semiring_name == "log_plus"
+
+    def weight_chunk(a_c, b_c):
+        """Per-term routing weight: softmax for log_plus, arg-reduce
+        equality mask for the tropical cases."""
         mapped = a_c[:, :, None] + b_c[None, :, :]              # (m, ck, n)
-        return mapped == c[:, None, :]
+        if soft:
+            return jnp.exp(mapped - c[:, None, :]).astype(jnp.float32)
+        return (mapped == c[:, None, :]).astype(jnp.float32)
 
-    # Pass 1: tie counts per output element.
-    def count_step(acc, operands):
-        a_c, b_c = operands
-        return acc + jnp.sum(eq_chunk(a_c, b_c), axis=1,
-                             dtype=jnp.int32), None
+    if soft:
+        # Softmax weights already sum to 1 over k.
+        g_shared = g.astype(jnp.float32)
+    else:
+        # Pass 1: tie counts per output element (shared cotangent).
+        def count_step(acc, operands):
+            a_c, b_c = operands
+            return acc + jnp.sum(weight_chunk(a_c, b_c), axis=1), None
 
-    ties, _ = jax.lax.scan(count_step, jnp.zeros((m, n), jnp.int32),
-                           (a_chunks, b_chunks))
-    g_shared = (g / jnp.maximum(ties, 1)).astype(jnp.float32)
+        ties, _ = jax.lax.scan(count_step, jnp.zeros((m, n), jnp.float32),
+                               (a_chunks, b_chunks))
+        g_shared = (g / jnp.maximum(ties, 1.0)).astype(jnp.float32)
 
-    # Pass 2: route cotangents through the equality mask.
+    # Pass 2: route cotangents through the weights.
     def grad_step(_, operands):
         a_c, b_c = operands
-        eq = eq_chunk(a_c, b_c).astype(jnp.float32)              # (m, ck, n)
-        da_c = jnp.einsum("mkn,mn->mk", eq, g_shared)
-        db_c = jnp.einsum("mkn,mn->kn", eq, g_shared)
+        w = weight_chunk(a_c, b_c)                               # (m, ck, n)
+        da_c = jnp.einsum("mkn,mn->mk", w, g_shared)
+        db_c = jnp.einsum("mkn,mn->kn", w, g_shared)
         return None, (da_c, db_c)
 
     _, (da_chunks, db_chunks) = jax.lax.scan(grad_step, None,

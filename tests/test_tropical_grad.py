@@ -60,3 +60,32 @@ def test_forward_value_unchanged():
     out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="min_plus",
                  config=CFG)
     verify_matmul(np.asarray(out), reference_matmul(a, b, semiring="min_plus"))
+
+
+def test_log_plus_gradient_matches_autodiff():
+    # Smooth log-semiring: gradient is exact (softmax weights), compare to
+    # XLA autodiff of the dense logsumexp formulation.
+    a, b = make_operands(10, 14, 12, "float32", low=-2.0, high=2.0)
+    a, b = jnp.asarray(a), jnp.asarray(b)
+
+    def loss(a, b):
+        return jnp.sum(matmul(a, b, semiring="log_plus", config=CFG) ** 2)
+
+    def ref_loss(a, b):
+        from jax.scipy.special import logsumexp
+        return jnp.sum(logsumexp(a[:, :, None] + b[None, :, :], axis=1) ** 2)
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(a, b)
+    ra, rb = jax.grad(ref_loss, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_log_plus_gradient_unaligned():
+    a, b = make_operands(9, 17, 23, "float32", low=-1.0, high=1.0)
+    ga = jax.grad(lambda x: jnp.sum(matmul(
+        x, jnp.asarray(b), semiring="log_plus", config=CFG)))(jnp.asarray(a))
+    # Softmax weights sum to 1 over k per output: total cotangent conserved.
+    np.testing.assert_allclose(float(jnp.sum(ga)), 9 * 17, rtol=1e-4)

@@ -67,30 +67,23 @@ def batch_sharding(mesh: Mesh, dp: str = "dp"):
     return NamedSharding(mesh, P(dp, None))
 
 
-def _bias_relu(acc, bias):
-    return jax.nn.relu(acc + bias)
-
-
-def _bias(acc, bias):
-    return acc + bias
-
-
 def mlp_forward(params: Params, x, *, config: Optional[GemmConfig] = None,
                 fused: bool = False):
     """Forward pass; every layer matmul is the framework's CA-GEMM.
 
     ``fused=True`` folds bias+activation into the kernel's store epilogue
-    (inference-only: the fused path has no custom VJP).
+    via :func:`gemm_hls_tpu.ops.fused_linear.fused_linear` — one HBM round
+    trip per layer, and still trainable (custom VJP).
     """
+    from gemm_hls_tpu.ops.fused_linear import fused_linear
+
     if config is None:
         config = default_config(str(x.dtype))
     h = x
     for i, (w, b) in enumerate(params):
         last = i + 1 == len(params)
         if fused:
-            h = matmul(h, w, config=config,
-                       epilogue=_bias if last else _bias_relu,
-                       epilogue_operands=(b,))
+            h = fused_linear(h, w, b, "identity" if last else "relu", config)
         else:
             h = matmul(h, w, config=config) + b
             if not last:

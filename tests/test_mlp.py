@@ -97,3 +97,17 @@ def test_fused_inference_matches_unfused():
     fused = mlp_forward(params, x, config=CFG, fused=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_fused_training_matches_unfused():
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, DIMS)
+    batch = make_batch(jax.random.PRNGKey(2), 32, DIMS[0], DIMS[-1])
+    g_ref = jax.grad(lambda p: loss_fn(p, batch, config=CFG))(params)
+    g_fused = jax.grad(lambda p: jnp.mean(
+        (mlp_forward(p, batch[0], config=CFG, fused=True) - batch[1]) ** 2
+    ))(params)
+    np.testing.assert_allclose(np.asarray(g_fused[0][0]),
+                               np.asarray(g_ref[0][0]), rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_fused[1][1]),
+                               np.asarray(g_ref[1][1]), rtol=1e-3, atol=1e-6)

@@ -94,6 +94,19 @@ def main(argv=None):
         return normw < 1e-13, normw
     check("f64-class Ozaki (normwise < 1e-13)", ozaki_check)
 
+    def fused_linear_grad_check():
+        from gemm_hls_tpu.ops.fused_linear import fused_linear
+        x, w = make_operands(64, 128, 96, "float32", low=-1.0, high=1.0)
+        bias = np.linspace(-0.5, 0.5, 128).astype(np.float32)
+        x, w, bias = jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias)
+        gw = jax.grad(lambda ww: jnp.sum(
+            fused_linear(x, ww, bias, "relu") ** 2), argnums=0)(w)
+        rw = jax.grad(lambda ww: jnp.sum(
+            jax.nn.relu(x @ ww + bias) ** 2), argnums=0)(w)
+        return check_result(np.asarray(gw),
+                            np.asarray(rw, np.float64), rtol=1e-3)
+    check("fused linear custom-VJP gradient", fused_linear_grad_check)
+
     def epilogue_check():
         a, b = make_operands(64, 128, 96, "float32", low=-3.0, high=3.0)
         bias = np.linspace(-2, 2, 128).astype(np.float32)

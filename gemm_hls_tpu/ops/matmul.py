@@ -353,7 +353,7 @@ def matmul(
         raise ValueError(f"unknown backend {backend!r}")
     if sr.is_mxu:
         return _mxu_padded(a, b, config)
-    if (sr.name in ("min_plus", "max_plus", "log_plus")
+    if (sr.name in ("min_plus", "max_plus", "log_plus", "max_min", "min_max")
             and not config.transpose_a and not config.transpose_b):
         # Differentiable additive-map path: argmin/argmax subgradients, or
         # softmax weights for the smooth log semiring

@@ -16,6 +16,12 @@
 
   — the soft relaxation of the tropical case (HMM forward/backward).
 
+* ``max_min`` / ``min_max``: the map itself selects an operand, so the
+  chain rule has two selection stages — which k attains the reduce, and
+  which operand attains the map: dA gets the cotangent only where k is
+  selected AND A[i,k] is the min (resp. max) of the mapped pair; map-level
+  ties split the weight 0.5/0.5.
+
 The forward pass is the regular VPU kernel; the backward pass recomputes
 the map in K-chunks (memory O(M * ck * N)) against the stored output — no
 (M, K, N) materialization and no index storage in the forward.
@@ -31,7 +37,7 @@ import jax.numpy as jnp
 from gemm_hls_tpu.config import GemmConfig
 from gemm_hls_tpu.ops.semiring import get_semiring
 
-_SUPPORTED = ("min_plus", "max_plus", "log_plus")
+_SUPPORTED = ("min_plus", "max_plus", "log_plus", "max_min", "min_max")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -69,23 +75,44 @@ def _bwd(semiring_name, config, res, g):
     b_chunks = b_p.reshape(kp // ck, ck, n)                     # (nc, ck, n)
 
     soft = semiring_name == "log_plus"
+    selective_map = semiring_name in ("max_min", "min_max")
 
     def weight_chunk(a_c, b_c):
-        """Per-term routing weight: softmax for log_plus, arg-reduce
-        equality mask for the tropical cases."""
-        mapped = a_c[:, :, None] + b_c[None, :, :]              # (m, ck, n)
+        """Per-term routing weights (w_a, w_b): softmax for log_plus,
+        arg-reduce equality mask for the tropical cases, times the
+        map-operand selection for min/max maps."""
+        a3 = a_c[:, :, None]                                     # (m, ck, 1)
+        b3 = b_c[None, :, :]                                     # (1, ck, n)
+        mapped = (jnp.minimum(a3, b3) if semiring_name == "max_min"
+                  else jnp.maximum(a3, b3) if semiring_name == "min_max"
+                  else a3 + b3)                                  # (m, ck, n)
         if soft:
-            return jnp.exp(mapped - c[:, None, :]).astype(jnp.float32)
-        return (mapped == c[:, None, :]).astype(jnp.float32)
+            w = jnp.exp(mapped - c[:, None, :]).astype(jnp.float32)
+            return w, w
+        w = (mapped == c[:, None, :]).astype(jnp.float32)
+        if not selective_map:
+            return w, w
+        # Map-level selection: route to the operand attaining the map,
+        # splitting ties 0.5/0.5.
+        a_sel = (a3 < b3) if semiring_name == "max_min" else (a3 > b3)
+        b_sel = (b3 < a3) if semiring_name == "max_min" else (b3 > a3)
+        tie = 0.5 * (a3 == b3)
+        return (w * (a_sel + tie).astype(jnp.float32),
+                w * (b_sel + tie).astype(jnp.float32))
 
     if soft:
         # Softmax weights already sum to 1 over k.
         g_shared = g.astype(jnp.float32)
     else:
-        # Pass 1: tie counts per output element (shared cotangent).
+        # Pass 1: reduce-level tie counts per output (shared cotangent).
+        # w_a + w_b sums to the reduce mask for selective maps and to
+        # twice it for additive maps.
+        count_factor = 1.0 if selective_map else 0.5
+
         def count_step(acc, operands):
             a_c, b_c = operands
-            return acc + jnp.sum(weight_chunk(a_c, b_c), axis=1), None
+            w_a, w_b = weight_chunk(a_c, b_c)
+            return acc + count_factor * jnp.sum(w_a + w_b, axis=1), None
 
         ties, _ = jax.lax.scan(count_step, jnp.zeros((m, n), jnp.float32),
                                (a_chunks, b_chunks))
@@ -94,9 +121,9 @@ def _bwd(semiring_name, config, res, g):
     # Pass 2: route cotangents through the weights.
     def grad_step(_, operands):
         a_c, b_c = operands
-        w = weight_chunk(a_c, b_c)                               # (m, ck, n)
-        da_c = jnp.einsum("mkn,mn->mk", w, g_shared)
-        db_c = jnp.einsum("mkn,mn->kn", w, g_shared)
+        w_a, w_b = weight_chunk(a_c, b_c)                        # (m, ck, n)
+        da_c = jnp.einsum("mkn,mn->mk", w_a, g_shared)
+        db_c = jnp.einsum("mkn,mn->kn", w_b, g_shared)
         return None, (da_c, db_c)
 
     _, (da_chunks, db_chunks) = jax.lax.scan(grad_step, None,

@@ -89,3 +89,33 @@ def test_log_plus_gradient_unaligned():
         x, jnp.asarray(b), semiring="log_plus", config=CFG)))(jnp.asarray(a))
     # Softmax weights sum to 1 over k per output: total cotangent conserved.
     np.testing.assert_allclose(float(jnp.sum(ga)), 9 * 17, rtol=1e-4)
+
+
+@pytest.mark.parametrize("name,red,mp", [("max_min", jnp.max, jnp.minimum),
+                                         ("min_max", jnp.min, jnp.maximum)])
+def test_selective_map_grads_match_autodiff(name, red, mp):
+    # Continuous data -> no ties -> subgradient equals XLA's autodiff of the
+    # dense formulation.
+    a, b = make_operands(11, 13, 15, "float32", low=0.0, high=1000.0)
+    a, b = jnp.asarray(a), jnp.asarray(b)
+
+    def loss(a, b):
+        return jnp.sum(matmul(a, b, semiring=name, config=CFG) ** 2)
+
+    def ref_loss(a, b):
+        return jnp.sum(red(mp(a[:, :, None], b[None, :, :]), axis=1) ** 2)
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(a, b)
+    ra, rb = jax.grad(lambda a, b: ref_loss(a, b), argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-5)
+
+
+def test_selective_map_cotangent_conserved():
+    a, b = make_operands(9, 17, 23, "float32", low=0.0, high=100.0)
+    ga, gb = jax.grad(lambda x, y: jnp.sum(matmul(
+        x, y, semiring="max_min", config=CFG)), argnums=(0, 1))(
+        jnp.asarray(a), jnp.asarray(b))
+    # Each output routes exactly one unit total across dA and dB.
+    np.testing.assert_allclose(float(jnp.sum(ga) + jnp.sum(gb)), 9 * 17,
+                               rtol=1e-5)

@@ -101,10 +101,16 @@ def main(argv=None):
         x, w, bias = jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias)
         gw = jax.grad(lambda ww: jnp.sum(
             fused_linear(x, ww, bias, "relu") ** 2), argnums=0)(w)
-        rw = jax.grad(lambda ww: jnp.sum(
-            jax.nn.relu(x @ ww + bias) ** 2), argnums=0)(w)
-        return check_result(np.asarray(gw),
-                            np.asarray(rw, np.float64), rtol=1e-3)
+        # Reference at HIGHEST precision (XLA's default f32 dot on TPU is
+        # single-pass bf16, ~4e-3 — the reference would be the noisy side);
+        # scale-aware compare (near-zero gradient entries).
+        hi = jax.lax.Precision.HIGHEST
+        rw = jax.grad(lambda ww: jnp.sum(jax.nn.relu(
+            jnp.dot(x, ww, precision=hi) + bias) ** 2), argnums=0)(w)
+        rw = np.asarray(rw, np.float64)
+        err = float((np.abs(np.asarray(gw) - rw)
+                     / np.maximum(np.abs(rw).max() * 1e-2, np.abs(rw))).max())
+        return err < 1e-3, err
     check("fused linear custom-VJP gradient", fused_linear_grad_check)
 
     def epilogue_check():

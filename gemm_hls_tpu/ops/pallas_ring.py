@@ -88,14 +88,96 @@ def _ring_kernel(a_ref, b_ref, o_ref, a_vmem, b_buf, o_vmem,
     cp_o.wait()
 
 
+def _ring_kernel_tiled(a_ref, b_ref, o_ref, comm_ref, a_tile, b_tile, acc,
+                       out_tile, copy_sem, tile_sem, send_sem, recv_sem,
+                       out_sem, *, n_dev, nl, bk, axis_name, precision,
+                       use_barrier):
+    """Out-of-VMEM variant: operands and the circulating B blocks stay in
+    HBM; each ring step streams K in ``bk`` chunks through double-buffered
+    VMEM tiles while the next B block arrives over the ring — the full
+    three-level overlap (ICI ring / HBM->VMEM DMA / MXU), i.e. the
+    reference's dataflow pipeline (``kernel/Top.cpp:24``) spanning chips."""
+    my = jax.lax.axis_index(axis_name)
+    k_dim = a_ref.shape[1]
+    n_k = k_dim // bk
+    left = (my - 1 + n_dev) % n_dev
+    right = (my + 1) % n_dev
+
+    # Stage the local B block into the HBM ring buffer.
+    cp_b = pltpu.make_async_copy(b_ref, comm_ref.at[0], copy_sem)
+    cp_b.start()
+    cp_b.wait()
+
+    if use_barrier:
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, inc=1, device_id=left,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=right,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(barrier, 2)
+
+    for s in range(n_dev):
+        cur, nxt = s % 2, (s + 1) % 2
+        if s + 1 < n_dev:
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=comm_ref.at[cur], dst_ref=comm_ref.at[nxt],
+                send_sem=send_sem.at[cur], recv_sem=recv_sem.at[nxt],
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            rdma.start()
+
+        def tile_dma(slot, kb):
+            da = pltpu.make_async_copy(
+                a_ref.at[:, pl.ds(kb * bk, bk)], a_tile.at[slot],
+                tile_sem.at[slot, 0])
+            db = pltpu.make_async_copy(
+                comm_ref.at[cur, pl.ds(kb * bk, bk), :], b_tile.at[slot],
+                tile_sem.at[slot, 1])
+            return da, db
+
+        for d in tile_dma(0, 0):
+            d.start()
+        acc[:] = jnp.zeros_like(acc)
+
+        def k_body(kb, _):
+            slot, nslot = kb % 2, (kb + 1) % 2
+
+            @pl.when(kb + 1 < n_k)
+            def _():
+                for d in tile_dma(nslot, kb + 1):
+                    d.start()
+
+            for d in tile_dma(slot, kb):
+                d.wait()
+            acc[:] += jnp.dot(a_tile[slot], b_tile[slot],
+                              preferred_element_type=acc.dtype,
+                              precision=precision)
+            return ()
+
+        jax.lax.fori_loop(0, n_k, k_body, ())
+
+        src_dev = (my - s + n_dev) % n_dev
+        out_tile[:] = acc[:].astype(out_tile.dtype)
+        cp_o = pltpu.make_async_copy(
+            out_tile, o_ref.at[:, pl.ds(src_dev * nl, nl)], out_sem)
+        cp_o.start()
+        cp_o.wait()
+
+        if s + 1 < n_dev:
+            rdma.wait()
+
+
 def ring_matmul(a, b, mesh: Mesh, *, axis: str = "x",
                 config: GemmConfig = None, interpret: bool = None,
-                out_dtype=jnp.float32):
+                out_dtype=jnp.float32, block_k: int = None):
     """C[P(x), full-N] = A[P(x), K] . B[K, P(x)] on a 1-D ring.
 
-    Local operands must fit VMEM (demonstration-scale kernel; the tiled
-    production variant is ROADMAP work).  A is row-sharded over ``axis``,
-    B column-sharded; the result is row-sharded with full N per device.
+    With ``block_k=None`` the local operands are held in VMEM (fast path
+    for VMEM-sized locals); with ``block_k`` set, operands and the ring
+    buffers stay in HBM and K streams through double-buffered VMEM tiles —
+    out-of-VMEM locals with three-level overlap (ICI / DMA / MXU).
+    A is row-sharded over ``axis``, B column-sharded; the result is
+    row-sharded with full N per device.
     """
     n_dev = mesh.shape[axis]
     m, k = a.shape
@@ -110,30 +192,68 @@ def ring_matmul(a, b, mesh: Mesh, *, axis: str = "x",
                  if (config and config.precision in ("high", "highest"))
                  else jax.lax.Precision.DEFAULT)
 
-    kernel = functools.partial(_ring_kernel, n_dev=n_dev, nl=nl,
-                               axis_name=axis, precision=precision,
-                               use_barrier=not interpret)
+    if block_k is not None:
+        if k % block_k:
+            raise ValueError(f"K={k} must be divisible by block_k={block_k}")
+        kernel = functools.partial(
+            _ring_kernel_tiled, n_dev=n_dev, nl=nl, bk=block_k,
+            axis_name=axis, precision=precision, use_barrier=not interpret)
 
-    def local(a_blk, b_blk):
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((ml, n), jnp.dtype(out_dtype)),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((ml, k), a_blk.dtype),        # A stationary
-                pltpu.VMEM((2, k, nl), b_blk.dtype),     # B double buffer
-                pltpu.VMEM((ml, n), jnp.dtype(out_dtype)),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True,
-                                                 collective_id=7),
-            name=f"ca_gemm_ring_{n_dev}",
-        )(a_blk, b_blk)
+        def local(a_blk, b_blk):
+            out, _ = pl.pallas_call(
+                kernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct((ml, n), jnp.dtype(out_dtype)),
+                    # HBM ring buffer (RDMA target) — an output so the
+                    # kernel may write it.
+                    jax.ShapeDtypeStruct((2, k, nl), b_blk.dtype),
+                ),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                           pl.BlockSpec(memory_space=pl.ANY)),
+                scratch_shapes=[
+                    pltpu.VMEM((2, ml, block_k), a_blk.dtype),
+                    pltpu.VMEM((2, block_k, nl), b_blk.dtype),
+                    pltpu.VMEM((ml, nl), jnp.float32),
+                    pltpu.VMEM((ml, nl), jnp.dtype(out_dtype)),
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA((2, 2)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(has_side_effects=True,
+                                                     collective_id=7),
+                name=f"ca_gemm_ring_tiled_{n_dev}",
+            )(a_blk, b_blk)
+            return out
+    else:
+        kernel = functools.partial(_ring_kernel, n_dev=n_dev, nl=nl,
+                                   axis_name=axis, precision=precision,
+                                   use_barrier=not interpret)
+
+        def local(a_blk, b_blk):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((ml, n), jnp.dtype(out_dtype)),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                scratch_shapes=[
+                    pltpu.VMEM((ml, k), a_blk.dtype),        # A stationary
+                    pltpu.VMEM((2, k, nl), b_blk.dtype),     # B double buffer
+                    pltpu.VMEM((ml, n), jnp.dtype(out_dtype)),
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(has_side_effects=True,
+                                                     collective_id=7),
+                name=f"ca_gemm_ring_{n_dev}",
+            )(a_blk, b_blk)
 
     fn = jax.shard_map(local, mesh=mesh, in_specs=(P(axis, None), P(None, axis)),
                        out_specs=P(axis, None), check_vma=False)

@@ -78,10 +78,15 @@ def reference_matmul(a: np.ndarray, b: np.ndarray, semiring="plus_times", *,
     m, k = a_w.shape
     n = b_w.shape[1]
 
-    if sr.is_mxu and wide is np.float64:
-        return a_w @ b_w  # cblas_dgemm analogue
     if sr.is_mxu:
-        return a_w @ b_w
+        return a_w @ b_w  # cblas_dgemm analogue
+
+    # Native C++ oracle when available (the CallBLAS-style fast path for
+    # generic semirings); numpy blocked sweep otherwise.
+    from gemm_hls_tpu.utils.native import native_reference_matmul
+    native = native_reference_matmul(a_l, b_l, sr.name)
+    if native is not None:
+        return native
 
     # Naive semiring sweep, blocked over rows to bound the (rows, K, N)
     # intermediate.

@@ -3,6 +3,7 @@ from gemm_hls_tpu.parallel.summa import (
     summa_matmul, cannon_matmul, shard_operands_2d,
 )
 from gemm_hls_tpu.parallel.grid25d import matmul_25d, shard_operands_25d
+from gemm_hls_tpu.ops.pallas_cannon import cannon_matmul_fused
 from gemm_hls_tpu.ops.pallas_ring import ring_matmul, shard_operands_ring
 from gemm_hls_tpu.parallel.staging import (
     distributed_streamed_matmul, streamed_matmul, streamed_matmul_files,
@@ -20,5 +21,6 @@ __all__ = [
     "streamed_matmul",
     "streamed_matmul_files",
     "ring_matmul",
+    "cannon_matmul_fused",
     "shard_operands_ring",
 ]

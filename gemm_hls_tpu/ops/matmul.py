@@ -319,6 +319,12 @@ def matmul(
     kb = b.shape[1] if config.transpose_b else b.shape[0]
     if ka != kb:
         raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
+    m_out = a.shape[1] if config.transpose_a else a.shape[0]
+    n_out = b.shape[0] if config.transpose_b else b.shape[1]
+    if m_out == 0 or n_out == 0 or ka == 0:
+        # Degenerate shapes: empty result / pure-identity fill.
+        ident = sr.identity_for(config.jacc_dtype) if ka == 0 else 0
+        return jnp.full((m_out, n_out), ident, config.jout_dtype)
     if a.dtype != b.dtype:
         raise ValueError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
     if not sr.supports_dtype(a.dtype):

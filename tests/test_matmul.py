@@ -185,3 +185,15 @@ def test_float16():
     out = matmul(jnp.asarray(a), jnp.asarray(b),
                  config=CFG.replace(dtype="float16", out_dtype="float32"))
     verify_matmul(np.asarray(out), exp, rtol=1e-2)
+
+
+def test_degenerate_shapes():
+    a = jnp.zeros((0, 8), jnp.float32)
+    b = jnp.zeros((8, 4), jnp.float32)
+    assert matmul(a, b, config=CFG).shape == (0, 4)
+    a = jnp.zeros((4, 0), jnp.float32)
+    b = jnp.zeros((0, 4), jnp.float32)
+    out = matmul(a, b, config=CFG)  # K == 0: reduce identity (0 for +)
+    np.testing.assert_array_equal(np.asarray(out), np.zeros((4, 4)))
+    out = matmul(a, b, semiring="min_plus", config=CFG)
+    assert np.all(np.isinf(np.asarray(out)))

@@ -94,6 +94,25 @@ def main(argv=None):
         return normw < 1e-13, normw
     check("f64-class Ozaki (normwise < 1e-13)", ozaki_check)
 
+    def ring_kernel_check():
+        # Degenerate 1-device ring: no RDMA fires, but the kernel skeleton
+        # (ANY-space refs, VMEM staging DMAs, dynamic output slices)
+        # compiles and runs on the real toolchain.
+        from jax.sharding import Mesh
+        from gemm_hls_tpu.ops.pallas_ring import (
+            ring_matmul, shard_operands_ring,
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("x",))
+        a, b = make_operands(64, 128, 256, "float32")
+        a_s, b_s = shard_operands_ring(jnp.asarray(a), jnp.asarray(b), mesh)
+        out = ring_matmul(a_s, b_s, mesh)
+        exp = reference_matmul(a, b)
+        ok1, e1 = check_result(np.asarray(out), exp, rtol=1e-3)
+        out2 = ring_matmul(a_s, b_s, mesh, block_k=64)
+        ok2, e2 = check_result(np.asarray(out2), exp, rtol=1e-3)
+        return ok1 and ok2, max(e1, e2)
+    check("fused ring kernel (1-chip degenerate)", ring_kernel_check)
+
     def fused_linear_grad_check():
         from gemm_hls_tpu.ops.fused_linear import fused_linear
         x, w = make_operands(64, 128, 96, "float32", low=-1.0, high=1.0)

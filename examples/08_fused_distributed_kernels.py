@@ -40,7 +40,7 @@ print(f"fused RDMA ring matmul on {n_dev} devices: verified "
       f"({n_dev - 1} hidden neighbor transfers)")
 
 # Tiled variant: K streamed through VMEM inside each ring step.
-c = ring_matmul(a_s, b_s, mesh, block_k=32)
+c = ring_matmul(a_s, b_s, mesh, block_k=32)  # interpret mode permits <128
 verify_matmul(np.asarray(c), a.astype(np.float64) @ b)
 print("tiled ring (out-of-VMEM locals, 3-level overlap): verified")
 

@@ -195,6 +195,11 @@ def ring_matmul(a, b, mesh: Mesh, *, axis: str = "x",
     if block_k is not None:
         if k % block_k:
             raise ValueError(f"K={k} must be divisible by block_k={block_k}")
+        if block_k % 128 and not interpret:
+            # Mosaic: HBM slices along the lane dimension must be
+            # 128-aligned (interpreter mode is lenient).
+            raise ValueError(f"block_k={block_k} must be a multiple of 128 "
+                             "(HBM slices along the lane dim)")
         kernel = functools.partial(
             _ring_kernel_tiled, n_dev=n_dev, nl=nl, bk=block_k,
             axis_name=axis, precision=precision, use_barrier=not interpret)

@@ -108,7 +108,7 @@ def main(argv=None):
         out = ring_matmul(a_s, b_s, mesh)
         exp = reference_matmul(a, b)
         ok1, e1 = check_result(np.asarray(out), exp, rtol=1e-3)
-        out2 = ring_matmul(a_s, b_s, mesh, block_k=64)
+        out2 = ring_matmul(a_s, b_s, mesh, block_k=128)
         ok2, e2 = check_result(np.asarray(out2), exp, rtol=1e-3)
         return ok1 and ok2, max(e1, e2)
     check("fused ring kernel (1-chip degenerate)", ring_kernel_check)

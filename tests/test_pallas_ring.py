@@ -50,10 +50,10 @@ def test_ring_rejects_indivisible():
 def test_tiled_ring_matmul(n_dev):
     # K streamed through VMEM tiles inside each ring step (out-of-VMEM path).
     mesh = _ring_mesh(n_dev)
-    m, n, k = 8 * n_dev, 16 * n_dev, 128
+    m, n, k = 8 * n_dev, 16 * n_dev, 256
     a, b = make_operands(m, n, k, "float32")
     a_s, b_s = shard_operands_ring(jnp.asarray(a), jnp.asarray(b), mesh)
-    out = ring_matmul(a_s, b_s, mesh, block_k=32)
+    out = ring_matmul(a_s, b_s, mesh, block_k=128)
     exp = a.astype(np.float64) @ b
     verify_matmul(np.asarray(out), exp, what=f"tiled-ring({n_dev})")
 
@@ -63,4 +63,8 @@ def test_tiled_ring_rejects_bad_block_k():
     a = jnp.zeros((8, 100), jnp.float32)
     b = jnp.zeros((100, 16), jnp.float32)
     with pytest.raises(ValueError, match="divisible by block_k"):
-        ring_matmul(a, b, mesh, block_k=64)
+        ring_matmul(a, b, mesh, block_k=30)
+    a = jnp.zeros((8, 128), jnp.float32)
+    b = jnp.zeros((128, 16), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        ring_matmul(a, b, mesh, block_k=64, interpret=False)

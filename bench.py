@@ -7,7 +7,8 @@ vs_baseline compares against the reference's best published number — 462
 GFLOP/s half-precision GEMM on a Xilinx VCU1525 (reference README.md:8,
 BASELINE.md).  Extra fields: %-of-datasheet-MXU-peak, ratio vs XLA's own
 jnp.dot on the same problem, and secondary dtype/semiring benchmarks
-(fp32 within the reference's 1e-3 tolerance regime, int8, min_plus VPU).
+(fp32 at full accuracy and in the opt-in fast mode, int8, min_plus VPU,
+f64-class Ozaki).
 
 Protocol mirrors the reference host driver (host/RunHardware.cpp): seeded
 operands, correctness check against the BLAS oracle (at a size where the

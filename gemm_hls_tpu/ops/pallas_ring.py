@@ -188,6 +188,10 @@ def ring_matmul(a, b, mesh: Mesh, *, axis: str = "x",
     ml, nl = m // n_dev, n // n_dev
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not interpret and nl % 128:
+        raise ValueError(
+            f"N/n_devices = {nl} must be a multiple of 128 in compiled mode "
+            "(dynamic output slices land on the lane dimension)")
     precision = (jax.lax.Precision.HIGHEST
                  if (config and config.precision in ("high", "highest"))
                  else jax.lax.Precision.DEFAULT)

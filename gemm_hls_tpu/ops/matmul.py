@@ -333,7 +333,14 @@ def matmul(
     if backend is None:
         backend = "pallas"
         if np.dtype(config.dtype) == np.float64 and _on_tpu():
-            backend = "xla"  # Mosaic has no f64; XLA emulates it on TPU.
+            # Mosaic has no f64 and XLA's TPU emulation is impractically
+            # slow (observed hanging in compile on v5e) — fail with
+            # directions instead of hanging.
+            raise ValueError(
+                "float64 matmul on TPU: use gemm_hls_tpu.ops.ozaki."
+                "ozaki_matmul (f64-class accuracy on the bf16 MXU), run on "
+                "CPU, or pass backend='xla' explicitly to accept XLA's "
+                "f64 emulation")
 
     interp = _resolve_interpret(config)
     config.validate(strict_alignment=(backend == "pallas" and not interp))

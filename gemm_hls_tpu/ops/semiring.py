@@ -168,6 +168,40 @@ register_semiring(Semiring(
     np_map=np.logical_and, np_reduce=np.logical_or,
 ))
 
+def _absdiff(x, y):
+    return jnp.abs(x - y)
+
+
+def _np_absdiff(x, y):
+    return np.abs(x - y)
+
+
+def _sqdiff(x, y):
+    d = x - y
+    return d * d
+
+
+def _np_sqdiff(x, y):
+    d = x - y
+    return d * d
+
+
+register_semiring(Semiring(
+    # Pairwise L1 distances: C[i,j] = sum_k |A[i,k] - B[k,j]| — the
+    # arbitrary-map capability beyond algebraic semirings (the reference's
+    # MM_MAP_OP accepts any binary functor, README.md:50).
+    name="plus_absdiff",
+    map_op=_absdiff, reduce_op=jnp.add, identity=0,
+    np_map=_np_absdiff, np_reduce=np.add, reduce_axis=jnp.sum,
+))
+
+register_semiring(Semiring(
+    # Pairwise squared-L2 distances: C[i,j] = sum_k (A[i,k] - B[k,j])^2.
+    name="plus_sqdiff",
+    map_op=_sqdiff, reduce_op=jnp.add, identity=0,
+    np_map=_np_sqdiff, np_reduce=np.add, reduce_axis=jnp.sum,
+))
+
 register_semiring(Semiring(
     name="log_plus",
     # Log semiring: map = +, reduce = logaddexp — the numerically stable

@@ -138,3 +138,23 @@ def test_min_plus_int8_widened_acc():
                  config=CFG.replace(dtype="int8"), out_dtype="int32")
     assert out.dtype == jnp.int32
     np.testing.assert_array_equal(np.asarray(out), exp)
+
+
+def test_plus_absdiff_l1_distances():
+    a, b = make_operands(17, 130, 33, "float32")
+    exp = reference_matmul(a, b, semiring="plus_absdiff")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="plus_absdiff",
+                 config=CFG)
+    verify_matmul(np.asarray(out), exp)
+    # cross-check directly: L1 distance of row i of A vs column j of B
+    i, j = 3, 7
+    np.testing.assert_allclose(
+        np.asarray(out)[i, j], np.abs(a[i] - b[:, j]).sum(), rtol=1e-5)
+
+
+def test_plus_sqdiff_l2_distances():
+    a, b = make_operands(12, 129, 20, "float32")
+    exp = reference_matmul(a, b, semiring="plus_sqdiff")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="plus_sqdiff",
+                 config=CFG)
+    verify_matmul(np.asarray(out), exp)

@@ -133,6 +133,57 @@ def ozaki_matmul(a: np.ndarray, b: np.ndarray, *,
     return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
 
 
+def ozaki_matmul_distributed(a: np.ndarray, b: np.ndarray, mesh, *,
+                             axes=("x", "y"), target_rel: float = 1e-14,
+                             config: Optional[GemmConfig] = None) -> np.ndarray:
+    """f64-class GEMM over a device mesh: Ozaki slices x gather-SUMMA.
+
+    The exactness argument is distribution-independent — gather-SUMMA
+    computes every output element as one full-K fp32 accumulation on one
+    device, so the ``2*slice_bits + log2(K) <= 24`` bound holds unchanged —
+    and the float-float combine runs sharded (elementwise).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gemm_hls_tpu.parallel.summa import summa_matmul
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
+    slice_bits, n_slices = slice_plan(k, target_rel)
+    sa = split_f64(a, slice_bits, n_slices, axis=1)
+    sb = split_f64(b, slice_bits, n_slices, axis=0)
+    ax, ay = axes
+    sa_d = jax.device_put(jnp.asarray(sa, jnp.bfloat16),
+                          NamedSharding(mesh, P(None, ax, ay)))
+    sb_d = jax.device_put(jnp.asarray(sb, jnp.bfloat16),
+                          NamedSharding(mesh, P(None, ax, ay)))
+    if config is None:
+        config = default_config("bfloat16", out_dtype="float32")
+    else:
+        config = config.replace(dtype="bfloat16", out_dtype="float32")
+
+    @jax.jit
+    def run(sa_j, sb_j):
+        hi = jnp.zeros((m, n), jnp.float32)
+        lo = jnp.zeros((m, n), jnp.float32)
+        for s in range(n_slices + 1):
+            for i in range(s + 1):
+                j = s - i
+                if i >= n_slices or j >= n_slices:
+                    continue
+                p = summa_matmul(sa_j[i], sb_j[j], mesh, axes=axes,
+                                 config=config)
+                hi, err = _two_sum(hi, p)
+                lo = lo + err
+        return hi, lo
+
+    hi, lo = run(sa_d, sb_d)
+    return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def device_accumulate(a_slices, b_slices, *, config: GemmConfig):
     """Device-resident part of the scheme: all slice-pair GEMMs + the

@@ -71,3 +71,15 @@ def test_normwise_full_f64_accuracy():
     normwise = np.abs(got - exp) / (
         np.linalg.norm(a, axis=1)[:, None] * np.linalg.norm(b, axis=0)[None, :])
     assert normwise.max() < 1e-14, f"normwise {normwise.max():.2e}"
+
+
+def test_distributed_ozaki_on_mesh():
+    from gemm_hls_tpu.ops.ozaki import ozaki_matmul_distributed
+    from gemm_hls_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh((2, 4))
+    a, b = make_operands(32, 64, 64, "float64", low=-5.0, high=5.0)
+    got = ozaki_matmul_distributed(a, b, mesh)
+    exp = a @ b
+    normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
+                                 * np.linalg.norm(b, axis=0)[None, :])
+    assert normw.max() < 5e-14, f"normwise {normw.max():.2e}"

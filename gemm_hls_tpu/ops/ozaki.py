@@ -48,7 +48,13 @@ def slice_plan(k: int, target_rel: float = 1e-14) -> Tuple[int, int]:
     """
     guard = math.ceil(math.log2(max(k, 2)))
     slice_bits = (24 - guard) // 2
-    slice_bits = max(1, min(slice_bits, 8))  # bf16 holds 8 mantissa bits
+    if slice_bits < 1:
+        raise ValueError(
+            f"K={k} exceeds the exactness bound of the fp32 accumulator "
+            f"(2*slice_bits + log2(K) <= 24 requires K <= 2^22); split the "
+            f"contraction into segments (e.g. via parallel.staging) and "
+            f"combine the segment results in float64")
+    slice_bits = min(slice_bits, 8)  # bf16 holds 8 mantissa bits
     need_bits = min(53, int(-math.log2(target_rel)) + 6)
     n_slices = math.ceil(need_bits / slice_bits)
     return slice_bits, n_slices

@@ -83,3 +83,11 @@ def test_distributed_ozaki_on_mesh():
     normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
                                  * np.linalg.norm(b, axis=0)[None, :])
     assert normw.max() < 5e-14, f"normwise {normw.max():.2e}"
+
+
+def test_slice_plan_k_bound():
+    with pytest.raises(ValueError, match="exactness bound"):
+        slice_plan(1 << 23)
+    # Largest supported K still satisfies the constraint.
+    bits, _ = slice_plan(1 << 22)
+    assert 2 * bits + 22 <= 24

@@ -73,7 +73,9 @@ _register(ChipSpec(
     peak_flops={"bfloat16": 197e12, "float32": 197e12 / 4, "int8": 394e12},
     hbm_bandwidth=819e9,
     vmem_bytes=128 * 1024 * 1024,
-    vpu_ops=4 * 8 * 128 * 940e6,   # 8x128 VPU, 4 ALU ports @ ~940 MHz
+    # Measured map+reduce throughput ceiling on this part (min_plus sweep,
+    # docs/BENCHMARKS.md); the naive 4-port estimate (3.85e12) undershoots.
+    vpu_ops=4.4e12,
     ici_bandwidth=186e9 / 4,       # 4 links
     ici_links=4,
     clock_hz=940e6,

@@ -272,9 +272,9 @@ def main(argv=None):
     p.add_argument("--k", type=int, required=True)
     p.add_argument("--dtype", default="float32")
     p.add_argument("--semiring", default="plus_times")
-    p.add_argument("--block-m", type=_int_list, default=[256, 512])
-    p.add_argument("--block-n", type=_int_list, default=[256, 512])
-    p.add_argument("--block-k", type=_int_list, default=[256, 512])
+    p.add_argument("--block-m", type=_int_list, default=None)
+    p.add_argument("--block-n", type=_int_list, default=None)
+    p.add_argument("--block-k", type=_int_list, default=None)
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--csv", default=None, help="output CSV path")
@@ -284,8 +284,16 @@ def main(argv=None):
     p.add_argument("--retries", type=int, default=0)
     args = p.parse_args(argv)
 
-    grid = expand_grid(block_m=args.block_m, block_n=args.block_n,
-                       block_k=args.block_k)
+    from gemm_hls_tpu.ops.semiring import get_semiring
+    if get_semiring(args.semiring).is_mxu:
+        defaults = dict(block_m=[512, 1024], block_n=[512, 1024],
+                        block_k=[1024, 4096])
+    else:  # VPU path wants lane-wide tiles
+        defaults = dict(block_m=[32, 64, 128], block_n=[1024, 2048],
+                        block_k=[512])
+    grid = expand_grid(block_m=args.block_m or defaults["block_m"],
+                       block_n=args.block_n or defaults["block_n"],
+                       block_k=args.block_k or defaults["block_k"])
     base = GemmConfig(dtype=args.dtype, semiring=args.semiring)
     results = sweep(grid, args.m, args.n, args.k, base=base,
                     verify=not args.no_verify, iters=args.iters, progress=True,

@@ -178,6 +178,24 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"ozaki bench FAILED: {e}")
 
+        # fp32-class GEMM on the int8 MXU path (integer slices).
+        i8x2_gf = i8x3_gf = None
+        try:
+            from gemm_hls_tpu.ops.int8_slices import fp32_matmul_int8
+            for ns in (2, 3):
+                fi8 = jax.jit(lambda x, y, nn=ns: fp32_matmul_int8(
+                    x, y, n_slices=nn))
+                t_i8 = time_fn(fi8, [(a32, b32)], iters=10)
+                gfi = gflops(m, n, k, t_i8)
+                log(f"fp32 via int8 slices (n={ns}): {t_i8 * 1e3:.2f} ms -> "
+                    f"{gfi:.0f} GFLOP/s")
+                if ns == 2:
+                    i8x2_gf = gfi
+                else:
+                    i8x3_gf = gfi
+        except Exception as e:  # noqa: BLE001
+            log(f"int8-slice bench FAILED: {e}")
+
         mp_size = 4096
         amp = a32[:mp_size, :mp_size]
         bmp = b32[:mp_size, :mp_size]
@@ -195,6 +213,7 @@ def main():
             log(f"min_plus bench FAILED: {e}")
     else:
         int8_gf, t_mp, oz_gf = None, None, None
+        i8x2_gf = i8x3_gf = None
 
     result = {
         "metric": f"bf16_gemm_{size}_gflops",
@@ -207,6 +226,8 @@ def main():
         "blocks": [best_cfg.block_m, best_cfg.block_n, best_cfg.block_k],
         "fp32_gflops": round(f32_gf, 1) if f32_gf else None,
         "fp32_gflops_fast": round(f32_fast_gf, 1) if f32_fast_gf else None,
+        "fp32_gflops_i8x2": round(i8x2_gf, 1) if i8x2_gf else None,
+        "fp32_gflops_i8x3": round(i8x3_gf, 1) if i8x3_gf else None,
         "int8_gops": round(int8_gf, 1) if int8_gf else None,
         "min_plus_4096_vpu_gops": round(
             gflops(4096, 4096, 4096, t_mp), 1) if t_mp else None,

@@ -1,0 +1,105 @@
+"""fp32-class GEMM on the int8 MXU path via integer slice decomposition.
+
+The int8 systolic path runs ~1.8x faster than even the bf16 path on v5e
+(342 vs 188 TOPS); this module trades that speed for fp32-class accuracy
+the same way ``ops/ozaki.py`` builds f64 from bf16:
+
+1. Each fp32 operand is quantized *on device* into 3 signed-int8 slices of
+   7 magnitude bits on a shared per-row (A) / per-column (B) exponent grid:
+   ``x ~= ulp_row * (s0 + s1/2^7 + s2/2^14)``.
+2. The 6 slice-pair products with i+j <= 2 run on the int8 MXU with int32
+   accumulation — **exact** for K up to 2^17 (products < 2^14).
+3. Exact int32 partials are split into two f32-exact halves (high/low 12+
+   bits) and combined with TwoSum float-float arithmetic, then rescaled by
+   the row/column ulps.
+
+Accuracy: ~2^-21 normwise (21 mantissa bits retained) — between Mosaic's
+DEFAULT (~2^-11) and HIGHEST (~2^-24) fp32 contract precisions, at int8
+speed.  Fully jittable (no host round trip, unlike the f64 scheme).
+
+Technique family: Ozaki-style error-free transformations on integer
+matrix engines (public literature); original implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+SLICE_BITS = 7
+
+
+def _quantize_slices(x, axis: int, n_slices: int = 3):
+    """(N_SLICES, *x.shape) int8 slices + per-vector ulp (f32).
+
+    Shared exponent along ``axis`` (the contraction axis), so every product
+    in one output's dot shares the grid — the block-fixed-point property
+    that makes int32 accumulation exact.
+    """
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    safe = jnp.where(amax > 0, amax, 1.0)
+    # ulp = 2^(e - SLICE_BITS) with 2^(e-1) <= max < 2^e.
+    e = jnp.floor(jnp.log2(safe)) + 1.0
+    ulp = jnp.exp2(e - SLICE_BITS).astype(jnp.float32)
+    r = x.astype(jnp.float32)
+    slices = []
+    cur_ulp = ulp
+    for _ in range(n_slices):
+        q = jnp.clip(jnp.trunc(r / cur_ulp), -127, 127)
+        slices.append(q.astype(jnp.int8))
+        r = r - q * cur_ulp
+        cur_ulp = cur_ulp * (2.0 ** -SLICE_BITS)
+    return jnp.stack(slices), ulp
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k", "n_slices"))
+def fp32_matmul_int8(a, b, *, block_m: int = 512, block_n: int = 1024,
+                     block_k: int = 8192, n_slices: int = 3):
+    """C = A . B for fp32 operands, computed on the int8 MXU path.
+
+    Args:
+      a: (M, K) float32; b: (K, N) float32; K <= 2^17 (int32 exactness).
+      n_slices: accuracy/speed dial — 2 slices (3 products) gives ~2^-14
+        normwise at ~int8/3 speed (both faster and more accurate than
+        Mosaic's DEFAULT fp32 contract); 3 slices (6 products) gives
+        ~2^-21, approaching HIGHEST at ~int8/6 speed.
+    Returns (M, N) float32.
+    """
+    from gemm_hls_tpu.config import GemmConfig
+    from gemm_hls_tpu.ops.matmul import matmul
+
+    m, k = a.shape
+    n = b.shape[1]
+    if k > (1 << 17):
+        raise ValueError(f"K={k} exceeds the int32 exactness bound (2^17); "
+                         "segment the contraction")
+    sa, ulp_a = _quantize_slices(a, axis=1, n_slices=n_slices)  # (m, 1)
+    sb, ulp_b = _quantize_slices(b, axis=0, n_slices=n_slices)  # (1, n)
+
+    cfg = GemmConfig(dtype="int8", out_dtype="int32", block_m=block_m,
+                     block_n=block_n, block_k=min(block_k, max(128, k)))
+
+    hi = jnp.zeros((m, n), jnp.float32)
+    lo = jnp.zeros((m, n), jnp.float32)
+    for s in range(n_slices):
+        for i in range(s + 1):
+            j = s - i
+            p = matmul(sa[i], sb[j], config=cfg)       # exact int32
+            w = jnp.float32(2.0 ** (-SLICE_BITS * (i + j)))
+            # Exact f32 split of the int32 partial (each half < 2^20).
+            p_hi = (p >> 12).astype(jnp.float32) * jnp.float32(4096.0) * w
+            p_lo = (p - ((p >> 12) << 12)).astype(jnp.float32) * w
+            hi, err = _two_sum(hi, p_hi)
+            lo = lo + err
+            hi, err = _two_sum(hi, p_lo)
+            lo = lo + err
+    return (hi + lo) * ulp_a * ulp_b

@@ -1,0 +1,52 @@
+"""fp32-class GEMM on the int8 path (integer slice decomposition)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gemm_hls_tpu.ops.int8_slices import _quantize_slices, fp32_matmul_int8
+from gemm_hls_tpu.utils import make_operands
+
+
+def test_quantize_reconstructs():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-100, 100, (16, 32)).astype(np.float32))
+    slices, ulp = _quantize_slices(x, axis=1)
+    recon = sum(slices[i].astype(np.float32) * np.asarray(ulp) * 2.0 ** (-7 * i)
+                for i in range(3))
+    rel = np.abs(recon - np.asarray(x)) / np.abs(np.asarray(ulp)) / 2 ** 14
+    assert rel.max() < 1.0  # residual below the last slice's ulp
+
+
+@pytest.mark.parametrize("mnk", [(64, 96, 128), (33, 65, 127)])
+def test_accuracy_beats_default_precision(mnk):
+    m, n, k = mnk
+    a, b = make_operands(m, n, k, "float32", low=-5.0, high=5.0)
+    got = np.asarray(fp32_matmul_int8(jnp.asarray(a), jnp.asarray(b),
+                                      block_m=32, block_n=128, block_k=128))
+    exp = a.astype(np.float64) @ b
+    normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
+                                 * np.linalg.norm(b, axis=0)[None, :])
+    # ~2^-21 normwise; far beyond the bf16 single-pass (~2^-11) level.
+    assert normw.max() < 2e-6, f"normwise {normw.max():.2e}"
+
+
+def test_wide_magnitudes():
+    rng = np.random.default_rng(3)
+    a = (rng.uniform(-1, 1, (24, 48)) * 10.0 **
+         rng.integers(-3, 4, (24, 48))).astype(np.float32)
+    b = (rng.uniform(-1, 1, (48, 24)) * 10.0 **
+         rng.integers(-3, 4, (48, 24))).astype(np.float32)
+    got = np.asarray(fp32_matmul_int8(jnp.asarray(a), jnp.asarray(b),
+                                      block_m=32, block_n=128, block_k=128))
+    exp = a.astype(np.float64) @ b
+    normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
+                                 * np.linalg.norm(b, axis=0)[None, :] + 1e-30)
+    assert normw.max() < 1e-5, f"normwise {normw.max():.2e}"
+
+
+def test_k_bound():
+    a = jnp.zeros((8, 1 << 18), jnp.float32)
+    b = jnp.zeros((1 << 18, 8), jnp.float32)
+    with pytest.raises(ValueError, match="exactness bound"):
+        fp32_matmul_int8(a, b)

@@ -94,6 +94,19 @@ def main(argv=None):
         return normw < 1e-13, normw
     check("f64-class Ozaki (normwise < 1e-13)", ozaki_check)
 
+    def int8_slices_check():
+        from gemm_hls_tpu.ops.int8_slices import fp32_matmul_int8
+        a, b = make_operands(256, 256, 512, "float32", low=-5.0, high=5.0)
+        got = np.asarray(fp32_matmul_int8(
+            jnp.asarray(a), jnp.asarray(b), block_m=256, block_n=256,
+            block_k=512, n_slices=3))
+        exp = a.astype(np.float64) @ b
+        normw = float((np.abs(got - exp)
+                       / (np.linalg.norm(a, axis=1)[:, None]
+                          * np.linalg.norm(b, axis=0)[None, :])).max())
+        return normw < 2e-6, normw
+    check("fp32 via int8 slices (normwise < 2e-6)", int8_slices_check)
+
     def ring_kernel_check():
         # Degenerate 1-device ring: no RDMA fires, but the kernel skeleton
         # (ANY-space refs, VMEM staging DMAs, dynamic output slices)

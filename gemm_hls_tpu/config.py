@@ -75,7 +75,10 @@ class GemmConfig:
       semiring: name of the (map, reduce) operator pair — reference
         ``MM_MAP_OP``/``MM_REDUCE_OP`` (``include/Config.h.in:34-35``).
       transpose_a: A is supplied K-major, i.e. shape (K, M) — reference
-        ``MM_TRANSPOSED_A``.
+        ``MM_TRANSPOSED_A``. Compiled kernels then need ``block_m`` to be a
+        multiple of 128 (it lands on the lane dimension).
+      transpose_b: B is supplied N-major, i.e. shape (N, K); contraction
+        over its second axis (used copy-free by the custom-VJP backward).
       pad_policy: "pad" (mask/pad unaligned sizes, reference dynamic-size
         masking ``kernel/Compute.cpp:112-137``) or "strict" (reject).
       precision: MXU precision for float32 inputs. "high"/"highest"

@@ -88,7 +88,9 @@ class GemmConfig:
         with ~5e-4 typical relative error, but the error scales with the
         *absolute* magnitude of the accumulation, so cancellation-heavy
         data can exceed 1e-3 element-wise — opt in for well-conditioned
-        workloads.
+        workloads.  "i8x2"/"i8x3" run the integer-slice scheme on the int8
+        engine (``ops/int8_slices.py``): ~2^-14 normwise at ~95 TF /
+        ~2^-21 at ~51 TF on v5e — both with exact int32 accumulation.
       interpret: force Pallas interpreter mode (None = auto: interpret
         off-TPU). The analogue of hlslib's software dataflow simulation —
         the *same kernel code* runs on CPU (reference ``test/TestSimulation.cpp``).
@@ -151,10 +153,11 @@ class GemmConfig:
         """
         if self.pad_policy not in ("pad", "strict"):
             raise ValueError(f"pad_policy must be 'pad' or 'strict', got {self.pad_policy!r}")
-        if self.precision not in ("default", "high", "highest"):
+        if self.precision not in ("default", "high", "highest",
+                                  "i8x2", "i8x3"):
             raise ValueError(
-                f"precision must be 'default', 'high', or 'highest', "
-                f"got {self.precision!r}")
+                f"precision must be one of 'default', 'high', 'highest', "
+                f"'i8x2', 'i8x3', got {self.precision!r}")
         for name in ("block_m", "block_n", "block_k"):
             v = getattr(self, name)
             if not (isinstance(v, int) and v > 0):

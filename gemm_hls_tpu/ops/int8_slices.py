@@ -61,9 +61,37 @@ def _two_sum(a, b):
     return s, err
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k", "n_slices"))
 def fp32_matmul_int8(a, b, *, block_m: int = 512, block_n: int = 1024,
                      block_k: int = 8192, n_slices: int = 3):
+    """Public entry — differentiable: the gradient of the (approximated)
+    bilinear map C = A.B is exactly dA = g.B^T, dB = A^T.g, computed with
+    the same integer-slice scheme so training pays the same reduced cost."""
+    return _i8_vjp(a, b, block_m, block_n, block_k, n_slices)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _i8_vjp(a, b, block_m, block_n, block_k, n_slices):
+    return _fp32_matmul_int8_impl(a, b, block_m=block_m, block_n=block_n,
+                                  block_k=block_k, n_slices=n_slices)
+
+
+def _i8_fwd(a, b, block_m, block_n, block_k, n_slices):
+    return _i8_vjp(a, b, block_m, block_n, block_k, n_slices), (a, b)
+
+
+def _i8_bwd(block_m, block_n, block_k, n_slices, res, g):
+    a, b = res
+    da = _i8_vjp(g, b.T, block_m, block_n, block_k, n_slices)
+    db = _i8_vjp(a.T, g, block_m, block_n, block_k, n_slices)
+    return da.astype(a.dtype), db.astype(b.dtype)
+
+
+_i8_vjp.defvjp(_i8_fwd, _i8_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k", "n_slices"))
+def _fp32_matmul_int8_impl(a, b, *, block_m: int = 512, block_n: int = 1024,
+                           block_k: int = 8192, n_slices: int = 3):
     """C = A . B for fp32 operands, computed on the int8 MXU path.
 
     Args:

@@ -364,6 +364,16 @@ def matmul(
         return _xla_matmul(a, b, config, sr)
     if backend != "pallas":
         raise ValueError(f"unknown backend {backend!r}")
+    if sr.is_mxu and config.precision in ("i8x2", "i8x3"):
+        if (config.transpose_a or config.transpose_b
+                or np.dtype(config.dtype) != np.float32):
+            raise ValueError("precision='i8x*' requires float32 operands "
+                             "without transpose flags")
+        from gemm_hls_tpu.ops.int8_slices import fp32_matmul_int8
+        n_slices = int(config.precision[-1])
+        out = fp32_matmul_int8(a, b, block_m=512, block_n=1024,
+                               block_k=8192, n_slices=n_slices)
+        return out.astype(config.jout_dtype)
     if sr.is_mxu:
         return _mxu_padded(a, b, config)
     if (sr.name in ("min_plus", "max_plus", "log_plus", "max_min", "min_max")

@@ -50,3 +50,31 @@ def test_k_bound():
     b = jnp.zeros((1 << 18, 8), jnp.float32)
     with pytest.raises(ValueError, match="exactness bound"):
         fp32_matmul_int8(a, b)
+
+
+def test_int8_slices_gradients():
+    import jax
+    a, b = make_operands(24, 32, 40, "float32", low=-2.0, high=2.0)
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    ga, gb = jax.grad(lambda x, y: jnp.sum(fp32_matmul_int8(
+        x, y, block_m=32, block_n=128, block_k=128) ** 2),
+        argnums=(0, 1))(a, b)
+    ra, rb = jax.grad(lambda x, y: jnp.sum((x @ y) ** 2), argnums=(0, 1))(a, b)
+    # Normwise closeness (the scheme's guarantee), generous elementwise atol.
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-3,
+                               atol=np.abs(np.asarray(ra)).max() * 1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-3,
+                               atol=np.abs(np.asarray(rb)).max() * 1e-4)
+
+
+def test_precision_i8_via_matmul_api():
+    from gemm_hls_tpu import matmul
+    a, b = make_operands(40, 70, 90, "float32", low=-3.0, high=3.0)
+    out = matmul(jnp.asarray(a), jnp.asarray(b), precision="i8x3")
+    exp = a.astype(np.float64) @ b
+    normw = np.abs(np.asarray(out) - exp) / (
+        np.linalg.norm(a, axis=1)[:, None] * np.linalg.norm(b, axis=0)[None, :])
+    assert normw.max() < 2e-6
+    with pytest.raises(ValueError, match="i8x"):
+        matmul(jnp.asarray(a), jnp.asarray(b).T, precision="i8x3",
+               transpose_b=True)

@@ -159,22 +159,19 @@ def main():
         # timing; the reference's double-precision headline is 132 GFLOP/s).
         oz_gf = None
         try:
-            from gemm_hls_tpu.ops.ozaki import (
-                device_accumulate, slice_plan, split_f64,
-            )
+            from gemm_hls_tpu.ops.ozaki import split_f64_int8
+            from gemm_hls_tpu.ops.pallas_ozaki import fused_ozaki_int8
             oz = 2048
             rng = np.random.default_rng(5)
             a64 = rng.uniform(-5.0, 5.0, (oz, oz))
             b64 = rng.uniform(-5.0, 5.0, (oz, oz))
-            bits, ns = slice_plan(oz)
-            sa = jnp.asarray(split_f64(a64, bits, ns, axis=1), jnp.bfloat16)
-            sb = jnp.asarray(split_f64(b64, bits, ns, axis=0), jnp.bfloat16)
-            cfg_oz = GemmConfig(dtype="bfloat16", out_dtype="float32")
-            foz = jax.jit(lambda x, y: device_accumulate(x, y, config=cfg_oz))
-            t_oz = time_fn(foz, [(sa, sb)], iters=3)
+            sa, _ = split_f64_int8(a64, 8, axis=1)
+            sb, _ = split_f64_int8(b64, 8, axis=0)
+            foz = jax.jit(lambda x, y: fused_ozaki_int8(x, y))
+            t_oz = time_fn(foz, [(jnp.asarray(sa), jnp.asarray(sb))], iters=5)
             oz_gf = gflops(oz, oz, oz, t_oz)
-            log(f"ozaki f64-class {oz}^3 (device): {t_oz * 1e3:.1f} ms -> "
-                f"{oz_gf:.0f} GFLOP/s")
+            log(f"ozaki f64-class {oz}^3 (fused int8 kernel, device): "
+                f"{t_oz * 1e3:.1f} ms -> {oz_gf:.0f} GFLOP/s")
         except Exception as e:  # noqa: BLE001
             log(f"ozaki bench FAILED: {e}")
 

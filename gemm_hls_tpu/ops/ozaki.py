@@ -139,6 +139,114 @@ def ozaki_matmul(a: np.ndarray, b: np.ndarray, *,
     return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
 
 
+INT8_SLICE_BITS = 7
+
+
+def split_f64_int8(x: np.ndarray, n_slices: int, axis: int) -> tuple:
+    """Exact fixed-grid decomposition into int8 slices of 7 magnitude bits.
+
+    Returns (slices int8 (n, *shape), ulp float64 per contraction vector).
+    ``x ~= ulp * sum_i slices[i] * 2^(-7 i)`` — the int8-engine variant of
+    :func:`split_f64` (7 bits/slice vs 6-8, and int32 accumulation admits
+    K up to 2^17 instead of 2^(24-2b)).
+    """
+    x = np.asarray(x, np.float64)
+    amax = np.max(np.abs(x), axis=axis, keepdims=True)
+    safe = np.where(amax > 0, amax, 1.0)
+    e = np.floor(np.log2(safe)) + 1.0
+    ulp = np.exp2(e - INT8_SLICE_BITS)
+    slices = np.empty((n_slices,) + x.shape, np.int8)
+    r = x.copy()
+    cur = ulp.copy()
+    for i in range(n_slices):
+        q = np.clip(np.trunc(r / cur), -127, 127)
+        slices[i] = q.astype(np.int8)
+        r = r - q * cur
+        cur = cur * 2.0 ** -INT8_SLICE_BITS
+    return slices, ulp
+
+
+@functools.partial(jax.jit, static_argnames=("n_slices",))
+def _int8_accumulate(sa, sb, *, n_slices: int):
+    """All int8 slice-pair GEMMs (exact int32) + float-float combine.
+
+    Partials are scaled by 2^(-7(i+j)) and split into two f32-exact halves
+    before TwoSum accumulation.  Returns (hi, lo) float32; the caller
+    applies the f64 row/col ulps.
+    """
+    from gemm_hls_tpu.config import GemmConfig
+    from gemm_hls_tpu.ops.matmul import matmul
+
+    m = sa.shape[1]
+    n = sb.shape[2]
+    cfg = GemmConfig(dtype="int8", out_dtype="int32", block_m=512,
+                     block_n=1024, block_k=8192)
+    hi = jnp.zeros((m, n), jnp.float32)
+    lo = jnp.zeros((m, n), jnp.float32)
+    for s in range(n_slices + 1):
+        for i in range(s + 1):
+            j = s - i
+            if i >= n_slices or j >= n_slices:
+                continue
+            p = matmul(sa[i], sb[j], config=cfg)
+            w = jnp.float32(2.0 ** (-INT8_SLICE_BITS * (i + j)))
+            p_hi = (p >> 12).astype(jnp.float32) * jnp.float32(4096.0) * w
+            p_lo = (p - ((p >> 12) << 12)).astype(jnp.float32) * w
+            hi, err = _two_sum(hi, p_hi)
+            lo = lo + err
+            hi, err = _two_sum(hi, p_lo)
+            lo = lo + err
+    return hi, lo
+
+
+def ozaki_matmul_int8(a: np.ndarray, b: np.ndarray, *,
+                      target_rel: float = 1e-14,
+                      n_slices: int = None, fused: bool = True) -> np.ndarray:
+    """f64-class GEMM on the *int8* MXU path — ~4x the bf16-slice rate.
+
+    7-bit integer slices with exact int32 accumulation (valid for
+    K <= 2^17) need only 8 slices to span f64's mantissa, and the int8
+    engine runs ~1.8x faster than bf16 — ~36 exact GEMMs at 342 TOPS
+    instead of ~53 at 188 TFLOP/s.
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
+    if k > (1 << 17):
+        raise ValueError(f"K={k} exceeds the int32 exactness bound (2^17); "
+                         "segment the contraction")
+    if n_slices is None:
+        need_bits = min(53, int(-math.log2(target_rel)) + 6)
+        n_slices = math.ceil(need_bits / INT8_SLICE_BITS)
+    sa, ulp_a = split_f64_int8(a, n_slices, axis=1)
+    sb, ulp_b = split_f64_int8(b, n_slices, axis=0)
+    if fused:
+        # Single Pallas kernel: the whole slice triangle accumulated in
+        # VMEM (ops/pallas_ozaki.py) — no intermediate HBM traffic.
+        from gemm_hls_tpu.config import round_up
+        from gemm_hls_tpu.ops.pallas_ozaki import fused_ozaki_int8
+
+        bm = min(256, round_up(m, 32))
+        bn = min(512, round_up(n, 128))
+        bk = min(2048, round_up(k, 256))
+        mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
+        sa_p = np.zeros((n_slices, mp, kp), np.int8)
+        sa_p[:, :m, :k] = sa
+        sb_p = np.zeros((n_slices, kp, np_), np.int8)
+        sb_p[:, :k, :n] = sb
+        hi, lo = fused_ozaki_int8(jnp.asarray(sa_p), jnp.asarray(sb_p),
+                                  block_m=bm, block_n=bn, block_k=bk)
+        hi, lo = hi[:m, :n], lo[:m, :n]
+    else:
+        hi, lo = _int8_accumulate(jnp.asarray(sa), jnp.asarray(sb),
+                                  n_slices=n_slices)
+    return ((np.asarray(hi, np.float64) + np.asarray(lo, np.float64))
+            * ulp_a * ulp_b)
+
+
 def ozaki_matmul_distributed(a: np.ndarray, b: np.ndarray, mesh, *,
                              axes=("x", "y"), target_rel: float = 1e-14,
                              config: Optional[GemmConfig] = None) -> np.ndarray:

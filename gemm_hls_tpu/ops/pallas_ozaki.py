@@ -1,0 +1,130 @@
+"""Fused Ozaki-int8 kernel: f64-class GEMM with the whole slice-triangle
+accumulated in VMEM.
+
+The staged implementation (``ozaki.py``) runs each slice-pair GEMM as its
+own kernel and combines partials through HBM — the float-float combine
+dominates (~6x the MXU time).  This kernel keeps everything on-chip: per
+output tile, all ~36 int8 slice-pair dots execute back-to-back on the MXU,
+diagonal partials accumulate exactly in int32 registers within each K
+block (bounded by 8 * 2^14 * block_k < 2^31), and each K block flushes
+into resident float32 (hi, lo) TwoSum accumulators — zero intermediate HBM
+traffic, the same stationary-C communication-avoiding schedule as the main
+kernel.
+
+Outputs the (hi, lo) pair; the caller combines in float64 and applies the
+row/column ulps (see ``ozaki.ozaki_matmul_int8`` with ``fused=True``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gemm_hls_tpu.ops.int8_slices import SLICE_BITS
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _oz_kernel(sa_ref, sb_ref, hi_ref, lo_ref, acc_hi, acc_lo, *,
+               n_slices, n_k_grid):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_hi[:] = jnp.zeros_like(acc_hi)
+        acc_lo[:] = jnp.zeros_like(acc_lo)
+
+    hi = acc_hi[:]
+    lo = acc_lo[:]
+    for d in range(n_slices + 1):
+        # Diagonal d: exact int32 sum of its slice-pair products (each
+        # element bounded by 127^2 * block_k * n_pairs < 2^31).
+        p_d = None
+        for i in range(d + 1):
+            j = d - i
+            if i >= n_slices or j >= n_slices:
+                continue
+            p = jax.lax.dot_general(
+                sa_ref[i], sb_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            p_d = p if p_d is None else p_d + p
+        if p_d is None:
+            continue
+        w = jnp.float32(2.0 ** (-SLICE_BITS * d))
+        # Exact f32 split of the int32 diagonal (halves < 2^20 each).
+        p_hi = (p_d >> 12).astype(jnp.float32) * jnp.float32(4096.0) * w
+        p_lo = (p_d - ((p_d >> 12) << 12)).astype(jnp.float32) * w
+        hi, err = _two_sum(hi, p_hi)
+        lo = lo + err
+        hi, err = _two_sum(hi, p_lo)
+        lo = lo + err
+    acc_hi[:] = hi
+    acc_lo[:] = lo
+
+    @pl.when(pl.program_id(2) == n_k_grid - 1)
+    def _store():
+        hi_ref[:] = acc_hi[:]
+        lo_ref[:] = acc_lo[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "interpret"))
+def fused_ozaki_int8(sa, sb, *, block_m: int = 256, block_n: int = 512,
+                     block_k: int = 2048, interpret: bool = None):
+    """All-slices GEMM: (n, M, K) int8 x (n, K, N) int8 -> (hi, lo) f32.
+
+    Shapes must be block-aligned multiples (the ``ozaki`` wrapper pads).
+    """
+    n_slices, m, k = sa.shape
+    n = sb.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if m % block_m or n % block_n or k % block_k:
+        raise ValueError(f"({m},{n},{k}) not divisible by blocks "
+                         f"({block_m},{block_n},{block_k})")
+    # Per-K-block int32 exactness: n_pairs-per-diagonal * 127^2 * block_k.
+    if n_slices * (127 ** 2) * block_k >= (1 << 31):
+        raise ValueError(f"block_k={block_k} too large for exact int32 "
+                         f"diagonal accumulation with {n_slices} slices")
+    grid = (m // block_m, n // block_n, k // block_k)
+    kernel = functools.partial(_oz_kernel, n_slices=n_slices,
+                               n_k_grid=grid[2])
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_slices, block_m, block_k),
+                         lambda i, j, kk: (0, i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_slices, block_k, block_n),
+                         lambda i, j, kk: (0, kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((m, n), jnp.float32),
+                   jax.ShapeDtypeStruct((m, n), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32),
+                        pltpu.VMEM((block_m, block_n), jnp.float32)],
+        interpret=interpret,
+        name=f"ozaki_int8_fused_{n_slices}x",
+        **kwargs,
+    )(sa, sb)

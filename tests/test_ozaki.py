@@ -91,3 +91,32 @@ def test_slice_plan_k_bound():
     # Largest supported K still satisfies the constraint.
     bits, _ = slice_plan(1 << 22)
     assert 2 * bits + 22 <= 24
+
+
+def test_int8_variant_f64_accuracy():
+    from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8
+    a, b = make_operands(48, 64, 96, "float64", low=-5.0, high=5.0)
+    got = ozaki_matmul_int8(a, b)
+    exp = a @ b
+    normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
+                                 * np.linalg.norm(b, axis=0)[None, :])
+    assert normw.max() < 1e-13, f"normwise {normw.max():.2e}"
+
+
+def test_int8_variant_k_bound():
+    from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8
+    with pytest.raises(ValueError, match="exactness bound"):
+        ozaki_matmul_int8(np.zeros((4, 1 << 18)), np.zeros((1 << 18, 4)))
+
+
+def test_int8_fused_matches_staged():
+    from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8
+    a, b = make_operands(40, 70, 90, "float64", low=-5.0, high=5.0)
+    fused = ozaki_matmul_int8(a, b, fused=True)
+    staged = ozaki_matmul_int8(a, b, fused=False)
+    exp = a @ b
+    for got, name in ((fused, "fused"), (staged, "staged")):
+        normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
+                                     * np.linalg.norm(b, axis=0)[None, :])
+        assert normw.max() < 1e-13, f"{name}: {normw.max():.2e}"
+    np.testing.assert_allclose(fused, staged, rtol=1e-12)

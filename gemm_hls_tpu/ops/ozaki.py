@@ -204,10 +204,15 @@ def ozaki_matmul_int8(a: np.ndarray, b: np.ndarray, *,
                       n_slices: int = None, fused: bool = True) -> np.ndarray:
     """f64-class GEMM on the *int8* MXU path — ~4x the bf16-slice rate.
 
-    7-bit integer slices with exact int32 accumulation (valid for
-    K <= 2^17) need only 8 slices to span f64's mantissa, and the int8
-    engine runs ~1.8x faster than bf16 — ~36 exact GEMMs at 342 TOPS
-    instead of ~53 at 188 TFLOP/s.
+    7-bit integer slices with exact int32 accumulation need only 8 slices
+    to span f64's mantissa, and the int8 engine runs ~1.8x faster than
+    bf16 — ~36 exact GEMMs at 342 TOPS instead of ~53 at 188 TFLOP/s.
+
+    K is unbounded on the fused path: the kernel accumulates int32 only
+    within each K block (exact for n_slices * 127^2 * block_k < 2^31) and
+    flushes error-free into float-float (hi, lo) per block.  The staged
+    path (``fused=False``) accumulates int32 across all of K, so it keeps
+    the K <= 2^17 exactness bound.
     """
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
@@ -215,9 +220,9 @@ def ozaki_matmul_int8(a: np.ndarray, b: np.ndarray, *,
     k2, n = b.shape
     if k != k2:
         raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
-    if k > (1 << 17):
-        raise ValueError(f"K={k} exceeds the int32 exactness bound (2^17); "
-                         "segment the contraction")
+    if not fused and k > (1 << 17):
+        raise ValueError(f"K={k} exceeds the int32 exactness bound (2^17) "
+                         "of the staged path; use fused=True")
     if n_slices is None:
         need_bits = min(53, int(-math.log2(target_rel)) + 6)
         n_slices = math.ceil(need_bits / INT8_SLICE_BITS)

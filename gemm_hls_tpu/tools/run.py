@@ -56,19 +56,16 @@ def main(argv=None):
     if (args.dtype == "float64" and sr.name == "plus_times"
             and jax.default_backend() == "tpu"):
         # TPU has no f64 hardware and XLA's emulation is impractical; run
-        # the Ozaki slice scheme instead.  The fused int8 kernel (~4x the
-        # bf16-slice rate, ~1e-15 normwise) covers K <= 2^17; larger K
-        # falls back to the segmentable bf16-slice path.
-        from gemm_hls_tpu.ops.ozaki import ozaki_matmul, ozaki_matmul_int8
+        # the fused Ozaki int8 slice scheme instead (~4x the bf16-slice
+        # rate, ~1e-15 normwise, K unbounded — per-block int32 exactness).
+        from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8
 
-        use_i8 = args.k <= (1 << 17)
-        scheme = "fused int8" if use_i8 else "bf16"
         print(f"Executing {args.m}x{args.n}x{args.k} float64 GEMM via the "
-              f"Ozaki {scheme} slice scheme on {detect_chip().name}...")
+              f"Ozaki fused int8 slice scheme on {detect_chip().name}...")
         a, b = make_operands(args.m, args.n, args.k, "float64")
         import time as _time
         t0 = _time.perf_counter()
-        out = ozaki_matmul_int8(a, b) if use_i8 else ozaki_matmul(a, b)
+        out = ozaki_matmul_int8(a, b)
         secs = _time.perf_counter() - t0
         gf = gflops(args.m, args.n, args.k, secs)
         print(f"Completed in {secs:.3f} s end-to-end ({gf:.1f} GOp/s incl. "

@@ -105,8 +105,24 @@ def test_int8_variant_f64_accuracy():
 
 def test_int8_variant_k_bound():
     from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8
+    # The staged path accumulates int32 across all of K -> hard bound.
     with pytest.raises(ValueError, match="exactness bound"):
-        ozaki_matmul_int8(np.zeros((4, 1 << 18)), np.zeros((1 << 18, 4)))
+        ozaki_matmul_int8(np.zeros((4, 1 << 18)), np.zeros((1 << 18, 4)),
+                          fused=False)
+
+
+def test_int8_fused_large_k():
+    """K beyond the staged path's 2^17 bound stays f64-accurate (the fused
+    kernel accumulates int32 per K block only, flushing error-free into
+    float-float — so K is unbounded)."""
+    from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8
+    k = (1 << 17) + 256
+    a, b = make_operands(8, 8, k, "float64", low=-2.0, high=2.0)
+    got = ozaki_matmul_int8(a, b)
+    exp = a @ b
+    normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
+                                 * np.linalg.norm(b, axis=0)[None, :])
+    assert normw.max() < 1e-13, f"normwise {normw.max():.2e}"
 
 
 def test_int8_fused_matches_staged():

@@ -62,44 +62,61 @@ def _two_sum(a, b):
 
 
 def fp32_matmul_int8(a, b, *, block_m: int = 512, block_n: int = 1024,
-                     block_k: int = 8192, n_slices: int = 3):
+                     block_k: int = 8192, n_slices: int = 3,
+                     fused: bool = None):
     """Public entry — differentiable: the gradient of the (approximated)
     bilinear map C = A.B is exactly dA = g.B^T, dB = A^T.g, computed with
-    the same integer-slice scheme so training pays the same reduced cost."""
-    return _i8_vjp(a, b, block_m, block_n, block_k, n_slices)
+    the same integer-slice scheme so training pays the same reduced cost.
+
+    ``fused`` selects the execution strategy; the default (None) picks
+    automatically.  ``False`` runs staged per-pair int8 GEMMs — fastest
+    for these shallow 3/6-product triangles (95.4 vs 90.2 TF measured at
+    i8x2 8192^3 on v5e) but its whole-K int32 accumulation requires
+    K <= 2^17.  ``True`` runs the single-kernel slice triangle
+    (``ops/pallas_ozaki.py``): int32 accumulates per K block only, so the
+    contraction length is unbounded — chosen automatically when K is too
+    long for the staged path."""
+    if fused is None:
+        fused = a.shape[-1] > (1 << 17)
+    return _i8_vjp(a, b, block_m, block_n, block_k, n_slices, fused)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _i8_vjp(a, b, block_m, block_n, block_k, n_slices):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _i8_vjp(a, b, block_m, block_n, block_k, n_slices, fused):
     return _fp32_matmul_int8_impl(a, b, block_m=block_m, block_n=block_n,
-                                  block_k=block_k, n_slices=n_slices)
+                                  block_k=block_k, n_slices=n_slices,
+                                  fused=fused)
 
 
-def _i8_fwd(a, b, block_m, block_n, block_k, n_slices):
-    return _i8_vjp(a, b, block_m, block_n, block_k, n_slices), (a, b)
+def _i8_fwd(a, b, block_m, block_n, block_k, n_slices, fused):
+    return _i8_vjp(a, b, block_m, block_n, block_k, n_slices, fused), (a, b)
 
 
-def _i8_bwd(block_m, block_n, block_k, n_slices, res, g):
+def _i8_bwd(block_m, block_n, block_k, n_slices, fused, res, g):
     a, b = res
-    da = _i8_vjp(g, b.T, block_m, block_n, block_k, n_slices)
-    db = _i8_vjp(a.T, g, block_m, block_n, block_k, n_slices)
+    da = _i8_vjp(g, b.T, block_m, block_n, block_k, n_slices, fused)
+    db = _i8_vjp(a.T, g, block_m, block_n, block_k, n_slices, fused)
     return da.astype(a.dtype), db.astype(b.dtype)
 
 
 _i8_vjp.defvjp(_i8_fwd, _i8_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k", "n_slices"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "n_slices", "fused"))
 def _fp32_matmul_int8_impl(a, b, *, block_m: int = 512, block_n: int = 1024,
-                           block_k: int = 8192, n_slices: int = 3):
+                           block_k: int = 8192, n_slices: int = 3,
+                           fused: bool = True):
     """C = A . B for fp32 operands, computed on the int8 MXU path.
 
     Args:
-      a: (M, K) float32; b: (K, N) float32; K <= 2^17 (int32 exactness).
-      n_slices: accuracy/speed dial — 2 slices (3 products) gives ~2^-14
-        normwise at ~int8/3 speed (both faster and more accurate than
-        Mosaic's DEFAULT fp32 contract); 3 slices (6 products) gives
-        ~2^-21, approaching HIGHEST at ~int8/6 speed.
+      a: (M, K) float32; b: (K, N) float32.
+      n_slices: accuracy/speed dial — 2 slices gives ~2^-14 normwise at
+        ~int8/3 speed (both faster and more accurate than Mosaic's
+        DEFAULT fp32 contract); 3 slices gives ~2^-21, approaching
+        HIGHEST at ~int8/6 speed.
+      fused: single-kernel slice triangle (K unbounded) vs staged
+        per-pair GEMMs (K <= 2^17).
     Returns (M, N) float32.
     """
     from gemm_hls_tpu.config import GemmConfig
@@ -107,11 +124,33 @@ def _fp32_matmul_int8_impl(a, b, *, block_m: int = 512, block_n: int = 1024,
 
     m, k = a.shape
     n = b.shape[1]
-    if k > (1 << 17):
-        raise ValueError(f"K={k} exceeds the int32 exactness bound (2^17); "
-                         "segment the contraction")
+    if not fused and k > (1 << 17):
+        raise ValueError(f"K={k} exceeds the int32 exactness bound (2^17) "
+                         "of the staged path; use fused=True")
     sa, ulp_a = _quantize_slices(a, axis=1, n_slices=n_slices)  # (m, 1)
     sb, ulp_b = _quantize_slices(b, axis=0, n_slices=n_slices)  # (1, n)
+
+    if fused:
+        from gemm_hls_tpu.config import round_up
+        from gemm_hls_tpu.ops.pallas_ozaki import fused_ozaki_int8
+
+        # (512, 512, 4096) is the fastest measured fused config on v5e
+        # (90.2 TF i8x2 @8192^3); wider n/k blocks with 3 slice stacks
+        # exceed what Mosaic will schedule (compile failure at
+        # (512, 1024, 8192)).
+        bm = min(block_m, round_up(m, 32))
+        bn = min(block_n, 512, round_up(n, 128))
+        bk = min(block_k, 4096, round_up(k, 256))
+        while n_slices * (127 ** 2) * bk >= (1 << 31):
+            bk //= 2
+        mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
+        sa_p = jnp.pad(sa, ((0, 0), (0, mp - m), (0, kp - k)))
+        sb_p = jnp.pad(sb, ((0, 0), (0, kp - k), (0, np_ - n)))
+        # n_diags=n_slices matches the staged triangle (3 products for
+        # i8x2, 6 for i8x3) so both paths sit on the same speed tier.
+        hi, lo = fused_ozaki_int8(sa_p, sb_p, block_m=bm, block_n=bn,
+                                  block_k=bk, n_diags=n_slices)
+        return (hi[:m, :n] + lo[:m, :n]) * ulp_a * ulp_b
 
     cfg = GemmConfig(dtype="int8", out_dtype="int32", block_m=block_m,
                      block_n=block_n, block_k=min(block_k, max(128, k)))

@@ -35,7 +35,7 @@ def _two_sum(a, b):
 
 
 def _oz_kernel(sa_ref, sb_ref, hi_ref, lo_ref, acc_hi, acc_lo, *,
-               n_slices, n_k_grid):
+               n_slices, n_diags, n_k_grid):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_hi[:] = jnp.zeros_like(acc_hi)
@@ -43,7 +43,7 @@ def _oz_kernel(sa_ref, sb_ref, hi_ref, lo_ref, acc_hi, acc_lo, *,
 
     hi = acc_hi[:]
     lo = acc_lo[:]
-    for d in range(n_slices + 1):
+    for d in range(n_diags):
         # Diagonal d: exact int32 sum of its slice-pair products (each
         # element bounded by 127^2 * block_k * n_pairs < 2^31).
         p_d = None
@@ -75,15 +75,21 @@ def _oz_kernel(sa_ref, sb_ref, hi_ref, lo_ref, acc_hi, acc_lo, *,
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "interpret"))
+                                             "n_diags", "interpret"))
 def fused_ozaki_int8(sa, sb, *, block_m: int = 256, block_n: int = 512,
-                     block_k: int = 2048, interpret: bool = None):
+                     block_k: int = 2048, n_diags: int = None,
+                     interpret: bool = None):
     """All-slices GEMM: (n, M, K) int8 x (n, K, N) int8 -> (hi, lo) f32.
 
     Shapes must be block-aligned multiples (the ``ozaki`` wrapper pads).
+    ``n_diags`` truncates the slice triangle: diagonals d = i + j with
+    d < n_diags are computed (default ``n_slices + 1`` — everything whose
+    leading term exceeds the product of the two last slices).
     """
     n_slices, m, k = sa.shape
     n = sb.shape[2]
+    if n_diags is None:
+        n_diags = n_slices + 1
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if m % block_m or n % block_n or k % block_k:
@@ -95,7 +101,7 @@ def fused_ozaki_int8(sa, sb, *, block_m: int = 256, block_n: int = 512,
                          f"diagonal accumulation with {n_slices} slices")
     grid = (m // block_m, n // block_n, k // block_k)
     kernel = functools.partial(_oz_kernel, n_slices=n_slices,
-                               n_k_grid=grid[2])
+                               n_diags=n_diags, n_k_grid=grid[2])
 
     kwargs = {}
     if not interpret:

@@ -94,6 +94,20 @@ def main(argv=None):
         return normw < 1e-13, normw
     check("f64-class Ozaki (normwise < 1e-13)", ozaki_check)
 
+    def ozaki_fused_int8_check():
+        from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8
+        rng = np.random.default_rng(6)
+        a = rng.uniform(-5, 5, (160, 300))
+        b = rng.uniform(-5, 5, (300, 140))
+        got = ozaki_matmul_int8(a, b)
+        exp = a @ b
+        normw = float((np.abs(got - exp) /
+                       (np.linalg.norm(a, axis=1)[:, None]
+                        * np.linalg.norm(b, axis=0)[None, :])).max())
+        return normw < 1e-13, normw
+    check("f64-class fused Ozaki-int8 (normwise < 1e-13)",
+          ozaki_fused_int8_check)
+
     def int8_slices_check():
         from gemm_hls_tpu.ops.int8_slices import fp32_matmul_int8
         a, b = make_operands(256, 256, 512, "float32", low=-5.0, high=5.0)

@@ -45,11 +45,38 @@ def test_wide_magnitudes():
     assert normw.max() < 1e-5, f"normwise {normw.max():.2e}"
 
 
-def test_k_bound():
+def test_k_bound_staged_only():
     a = jnp.zeros((8, 1 << 18), jnp.float32)
     b = jnp.zeros((1 << 18, 8), jnp.float32)
+    # Staged path accumulates int32 across all of K -> hard bound.
     with pytest.raises(ValueError, match="exactness bound"):
-        fp32_matmul_int8(a, b)
+        fp32_matmul_int8(a, b, fused=False)
+
+
+def test_fused_matches_staged_and_large_k():
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.uniform(-3, 3, (40, 200)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-3, 3, (200, 72)).astype(np.float32))
+    exp = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    for ns in (2, 3):
+        got = np.asarray(fp32_matmul_int8(a, b, n_slices=ns, block_m=32,
+                                          block_n=128, block_k=256,
+                                          fused=True))
+        normw = np.abs(got - exp) / (
+            np.linalg.norm(a, axis=1)[:, None]
+            * np.linalg.norm(b, axis=0)[None, :])
+        bound = 3e-4 if ns == 2 else 2e-6
+        assert normw.max() < bound, f"n_slices={ns}: {normw.max():.2e}"
+    # K beyond the staged bound works on the fused path.
+    k = (1 << 17) + 128
+    a2 = jnp.asarray(rng.uniform(-1, 1, (8, k)).astype(np.float32))
+    b2 = jnp.asarray(rng.uniform(-1, 1, (k, 8)).astype(np.float32))
+    got = np.asarray(fp32_matmul_int8(a2, b2, block_m=32, block_n=128,
+                                      block_k=2048))
+    exp = np.asarray(a2, np.float64) @ np.asarray(b2, np.float64)
+    normw = np.abs(got - exp) / (np.linalg.norm(a2, axis=1)[:, None]
+                                 * np.linalg.norm(b2, axis=0)[None, :])
+    assert normw.max() < 2e-6, f"large-K normwise {normw.max():.2e}"
 
 
 def test_int8_slices_gradients():

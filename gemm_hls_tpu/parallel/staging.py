@@ -179,3 +179,37 @@ def streamed_matmul(a: np.ndarray, b: np.ndarray, *, semiring="plus_times",
             out[i0:i1, j0:j1] = np.asarray(acc.astype(jnp.dtype(str(out_dt)))
                                            if out_dt != acc.dtype else acc)
     return out
+
+
+def streamed_ozaki_matmul(a: np.ndarray, b: np.ndarray, *,
+                          tile_m: int = 4096, tile_n: int = 4096,
+                          tile_k: int = 16384,
+                          target_rel: float = 1e-14) -> np.ndarray:
+    """f64-class C = A . B for problems larger than HBM.
+
+    Same host-tile streaming schedule as :func:`streamed_matmul`, but each
+    (tile_m, tile_n) x tile_k panel product runs through the fused
+    Ozaki-int8 kernel (``ops/pallas_ozaki.py``), so double-precision-class
+    problems are bounded by host DRAM, not HBM.  Panel results are exact
+    to ~1e-15 normwise; the cross-panel sum accumulates in host float64
+    (one rounding per panel — the same growth as any blocked f64 GEMM).
+    """
+    from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
+    out = np.zeros((m, n), np.float64)
+    for i0 in range(0, m, tile_m):
+        i1 = min(m, i0 + tile_m)
+        for j0 in range(0, n, tile_n):
+            j1 = min(n, j0 + tile_n)
+            for k0 in range(0, k, tile_k):
+                k1 = min(k, k0 + tile_k)
+                out[i0:i1, j0:j1] += ozaki_matmul_int8(
+                    a[i0:i1, k0:k1], b[k0:k1, j0:j1],
+                    target_rel=target_rel)
+    return out

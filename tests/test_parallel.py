@@ -148,3 +148,17 @@ def test_distributed_streamed_25d_min_plus():
                                       semiring="min_plus", tile_m=16,
                                       tile_n=16, tile_k=64)
     verify_matmul(out, exp)
+
+
+def test_streamed_ozaki_f64_class():
+    """Out-of-HBM f64-class streaming: host tiles through the fused
+    Ozaki-int8 kernel, cross-panel sums in host float64."""
+    from gemm_hls_tpu.parallel.staging import streamed_ozaki_matmul
+    rng = np.random.default_rng(11)
+    a = rng.uniform(-5, 5, (300, 700))
+    b = rng.uniform(-5, 5, (700, 260))
+    got = streamed_ozaki_matmul(a, b, tile_m=128, tile_n=128, tile_k=256)
+    exp = a @ b
+    normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
+                                 * np.linalg.norm(b, axis=0)[None, :])
+    assert normw.max() < 1e-13, f"normwise {normw.max():.2e}"

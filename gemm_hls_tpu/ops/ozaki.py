@@ -332,3 +332,68 @@ def device_accumulate(a_slices, b_slices, *, config: GemmConfig):
             hi, err = _two_sum(hi, p)
             lo = lo + err
     return hi, lo
+
+
+def ozaki_matmul_int8_distributed(a: np.ndarray, b: np.ndarray, mesh, *,
+                                  axes=("x", "y"),
+                                  target_rel: float = 1e-14,
+                                  n_slices: int = None) -> np.ndarray:
+    """Distributed f64-class GEMM on the fused int8 kernel: each device
+    all-gathers its slice-stack panels (gather-SUMMA schedule — A along
+    the column axis, B along the row axis) and runs the whole slice
+    triangle locally in one kernel, so the per-device arithmetic is
+    identical to the single-chip path (~1e-15 normwise, K unbounded).
+
+    Communication volume matches the CA bound for 2-D GEMM — each device
+    moves ``n_slices`` int8 panels, the same bytes as one f64 panel.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gemm_hls_tpu.config import round_up
+    from gemm_hls_tpu.ops.pallas_ozaki import fused_ozaki_int8
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
+    if n_slices is None:
+        need_bits = min(53, int(-math.log2(target_rel)) + 6)
+        n_slices = math.ceil(need_bits / INT8_SLICE_BITS)
+    ax, ay = axes
+    px, py = mesh.shape[ax], mesh.shape[ay]
+
+    sa, ulp_a = split_f64_int8(a, n_slices, axis=1)
+    sb, ulp_b = split_f64_int8(b, n_slices, axis=0)
+
+    # Pad so each device's gathered panels are block-divisible.
+    bm, bn, bk = 256, 512, 2048
+    mp = round_up(m, px * min(bm, round_up(-(-m // px), 32)))
+    np_ = round_up(n, py * min(bn, round_up(-(-n // py), 128)))
+    kp = round_up(k, px * py * 256)
+    bm = min(bm, mp // px)
+    bn = min(bn, np_ // py)
+    bk = min(bk, kp)
+    sa_p = np.zeros((n_slices, mp, kp), np.int8)
+    sa_p[:, :m, :k] = sa
+    sb_p = np.zeros((n_slices, kp, np_), np.int8)
+    sb_p[:, :k, :n] = sb
+    sa_d = jax.device_put(jnp.asarray(sa_p),
+                          NamedSharding(mesh, P(None, ax, ay)))
+    sb_d = jax.device_put(jnp.asarray(sb_p),
+                          NamedSharding(mesh, P(None, ax, ay)))
+
+    def local(sa_l, sb_l):
+        ga = jax.lax.all_gather(sa_l, ay, axis=2, tiled=True)  # (s, M/px, K)
+        gb = jax.lax.all_gather(sb_l, ax, axis=1, tiled=True)  # (s, K, N/py)
+        return fused_ozaki_int8(ga, gb, block_m=bm, block_n=bn, block_k=bk)
+
+    hi, lo = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, ax, ay), P(None, ax, ay)),
+        out_specs=(P(ax, ay), P(ax, ay)),
+        check_vma=False))(sa_d, sb_d)
+    hi = np.asarray(hi[:m, :n], np.float64)
+    lo = np.asarray(lo[:m, :n], np.float64)
+    return (hi + lo) * ulp_a * ulp_b

@@ -136,3 +136,20 @@ def test_int8_fused_matches_staged():
                                      * np.linalg.norm(b, axis=0)[None, :])
         assert normw.max() < 1e-13, f"{name}: {normw.max():.2e}"
     np.testing.assert_allclose(fused, staged, rtol=1e-12)
+
+
+def test_int8_distributed_matches_oracle():
+    """Fused int8 f64-class GEMM over a 2x2 mesh (gather-SUMMA)."""
+    import jax
+    from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8_distributed
+    from gemm_hls_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2, 2), ("x", "y"))
+    rng = np.random.default_rng(13)
+    a = rng.uniform(-5, 5, (96, 140))
+    b = rng.uniform(-5, 5, (140, 88))
+    got = ozaki_matmul_int8_distributed(a, b, mesh)
+    exp = a @ b
+    normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
+                                 * np.linalg.norm(b, axis=0)[None, :])
+    assert normw.max() < 1e-13, f"normwise {normw.max():.2e}"

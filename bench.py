@@ -167,7 +167,7 @@ def main():
             b64 = rng.uniform(-5.0, 5.0, (oz, oz))
             sa, _ = split_f64_int8(a64, 8, axis=1)
             sb, _ = split_f64_int8(b64, 8, axis=0)
-            foz = jax.jit(lambda x, y: fused_ozaki_int8(x, y))
+            foz = jax.jit(lambda x, y: fused_ozaki_int8(x, y, n_diags=8))
             t_oz = time_fn(foz, [(jnp.asarray(sa), jnp.asarray(sb))], iters=5)
             oz_gf = gflops(oz, oz, oz, t_oz)
             log(f"ozaki f64-class {oz}^3 (fused int8 kernel, device): "

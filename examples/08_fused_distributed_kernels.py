@@ -15,8 +15,10 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 import jax  # noqa: E402
 
-if jax.device_count() < 8:
-    jax.config.update("jax_platforms", "cpu")
+# Force the virtual host mesh BEFORE any device query: the first query
+# initializes the backend (a live single-chip TPU would win and pin the
+# platform), and env vars alone lose to an already-registered PJRT plugin.
+jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -234,7 +234,10 @@ def ozaki_matmul_int8(a: np.ndarray, b: np.ndarray, *,
         from gemm_hls_tpu.config import round_up
         from gemm_hls_tpu.ops.pallas_ozaki import fused_ozaki_int8
 
-        bm = min(256, round_up(m, 32))
+        # (128, 512, 2048) measured fastest on v5e: 10.6 TF @4096^3
+        # (vs 8.7 for 256-row blocks - smaller C tiles keep more K-stream
+        # double-buffering headroom in VMEM).
+        bm = min(128, round_up(m, 32))
         bn = min(512, round_up(n, 128))
         bk = min(2048, round_up(k, 256))
         mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
@@ -373,7 +376,7 @@ def ozaki_matmul_int8_distributed(a: np.ndarray, b: np.ndarray, mesh, *,
     sb, ulp_b = split_f64_int8(b, n_slices, axis=0)
 
     # Pad so each device's gathered panels are block-divisible.
-    bm, bn, bk = 256, 512, 2048
+    bm, bn, bk = 128, 512, 2048
     mp = round_up(m, px * min(bm, round_up(-(-m // px), 32)))
     np_ = round_up(n, py * min(bn, round_up(-(-n // py), 128)))
     kp = round_up(k, px * py * 256)

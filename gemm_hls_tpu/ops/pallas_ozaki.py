@@ -76,7 +76,7 @@ def _oz_kernel(sa_ref, sb_ref, hi_ref, lo_ref, acc_hi, acc_lo, *,
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "n_diags", "interpret"))
-def fused_ozaki_int8(sa, sb, *, block_m: int = 256, block_n: int = 512,
+def fused_ozaki_int8(sa, sb, *, block_m: int = 128, block_n: int = 512,
                      block_k: int = 2048, n_diags: int = None,
                      interpret: bool = None):
     """All-slices GEMM: (n, M, K) int8 x (n, K, N) int8 -> (hi, lo) f32.

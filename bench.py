@@ -130,6 +130,22 @@ def main():
                           "error": "all configurations failed"}))
         return 1
 
+    # Sanity guard: the slope-timing protocol can under-measure when the
+    # relay hiccups mid-sample, producing a physically impossible rate.
+    # Re-measure the winner until it lands at or below the hardware peak
+    # (keeping the most conservative reading).
+    peak = chip.peak_for("bfloat16")
+    tries = 0
+    while best_gf > peak and tries < 4:
+        tries += 1
+        log(f"winner reads {best_gf:.0f} GFLOP/s > {peak:.0f} peak — "
+            f"re-measuring ({tries}/4)")
+        gf = bench_one(f"pallas bf16 re-measure {tries}",
+                       jax.jit(lambda x, y, c=best_cfg: matmul(x, y, config=c)),
+                       (a16, b16), it=max(iters, 8))
+        if gf:
+            best_gf = min(best_gf, gf)
+
     # ---- comparisons + secondary metrics ----------------------------------
     xla_gf = bench_one("xla jnp.dot bf16",
                        jax.jit(lambda x, y: jnp.dot(x, y)), (a16, b16))

@@ -110,6 +110,25 @@ def main():
         return gf
 
     # ---- headline: bf16 autotuned over candidates -------------------------
+    # Sanity guard: the slope-timing protocol can under-measure when the
+    # relay hiccups mid-sample, producing a physically impossible rate.
+    # Every candidate reading above the hardware peak is re-measured (most
+    # conservative reading kept), so a bogus sample can neither pick the
+    # wrong winner nor inflate the headline.
+    peak = chip.peak_for("bfloat16")
+
+    def sane(name, fn, pair, gf, retries=4):
+        tries = 0
+        while gf and gf > peak and tries < retries:
+            tries += 1
+            log(f"{name} reads {gf:.0f} GFLOP/s > {peak:.0f} peak — "
+                f"re-measuring ({tries}/{retries})")
+            gf2 = bench_one(f"{name} re-measure {tries}", fn, pair,
+                            it=max(iters, 8))
+            if gf2:
+                gf = min(gf, gf2)
+        return gf
+
     best_gf, best_cfg = 0.0, None
     for cand in candidates:
         cfg = base.replace(**cand)
@@ -118,9 +137,9 @@ def main():
         except ValueError as e:
             log(f"blocks {cand}: invalid ({e})")
             continue
-        gf = bench_one(f"pallas bf16 {cand}",
-                       jax.jit(lambda x, y, c=cfg: matmul(x, y, config=c)),
-                       (a16, b16))
+        fn = jax.jit(lambda x, y, c=cfg: matmul(x, y, config=c))
+        gf = sane(f"pallas bf16 {cand}", fn, (a16, b16),
+                  bench_one(f"pallas bf16 {cand}", fn, (a16, b16)), retries=2)
         if gf and gf > best_gf:
             best_gf, best_cfg = gf, cfg
 
@@ -130,21 +149,12 @@ def main():
                           "error": "all configurations failed"}))
         return 1
 
-    # Sanity guard: the slope-timing protocol can under-measure when the
-    # relay hiccups mid-sample, producing a physically impossible rate.
-    # Re-measure the winner until it lands at or below the hardware peak
-    # (keeping the most conservative reading).
-    peak = chip.peak_for("bfloat16")
-    tries = 0
-    while best_gf > peak and tries < 4:
-        tries += 1
-        log(f"winner reads {best_gf:.0f} GFLOP/s > {peak:.0f} peak — "
-            f"re-measuring ({tries}/4)")
-        gf = bench_one(f"pallas bf16 re-measure {tries}",
-                       jax.jit(lambda x, y, c=best_cfg: matmul(x, y, config=c)),
-                       (a16, b16), it=max(iters, 8))
-        if gf:
-            best_gf = min(best_gf, gf)
+    best_gf = sane("winner",
+                   jax.jit(lambda x, y, c=best_cfg: matmul(x, y, config=c)),
+                   (a16, b16), best_gf)
+    # If retries never produced a physically possible reading, publish it
+    # flagged rather than as a (bogus) record.
+    unreliable = best_gf > peak
 
     # ---- comparisons + secondary metrics ----------------------------------
     xla_gf = bench_one("xla jnp.dot bf16",
@@ -247,6 +257,8 @@ def main():
         "f64_ozaki_2048_gflops": round(oz_gf, 1) if oz_gf else None,
         "chip": chip.name,
     }
+    if unreliable:
+        result["unreliable_timing"] = True
     print(json.dumps(result))
     return 0
 

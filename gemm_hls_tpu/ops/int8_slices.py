@@ -132,12 +132,28 @@ def _fp32_matmul_int8_impl(a, b, *, block_m: int = 512, block_n: int = 1024,
 
     if fused:
         from gemm_hls_tpu.config import round_up
-        from gemm_hls_tpu.ops.pallas_ozaki import fused_ozaki_int8
+        from gemm_hls_tpu.ops.pallas_ozaki import (
+            fused_int8_fp32, fused_ozaki_int8,
+        )
 
-        # (512, 512, 4096) is the fastest measured fused config on v5e
-        # (90.2 TF i8x2 @8192^3); wider n/k blocks with 3 slice stacks
-        # exceed what Mosaic will schedule (compile failure at
-        # (512, 1024, 8192)).
+        whole_k_exact = n_slices * (127 ** 2) * k < (1 << 31)
+        if whole_k_exact:
+            # Fast path: per-diagonal int32 accumulators across the whole K
+            # — no per-block float flush at all (see _diag_kernel).
+            bm = min(block_m, round_up(m, 32))
+            bn = min(block_n, round_up(n, 128))
+            bk = min(block_k, 4096, round_up(k, 256))
+            mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
+            sa_p = jnp.pad(sa, ((0, 0), (0, mp - m), (0, kp - k)))
+            sb_p = jnp.pad(sb, ((0, 0), (0, kp - k), (0, np_ - n)))
+            out = fused_int8_fp32(sa_p, sb_p, block_m=bm, block_n=bn,
+                                  block_k=bk, n_diags=n_slices)
+            return out[:m, :n] * ulp_a * ulp_b
+
+        # K beyond the whole-K int32 bound: hi/lo kernel with exact
+        # per-K-block flushes (K unbounded).  (512, 512, 4096) is the
+        # fastest config Mosaic will schedule with 3 slice stacks plus the
+        # two f32 accumulators.
         bm = min(block_m, round_up(m, 32))
         bn = min(block_n, 512, round_up(n, 128))
         bk = min(block_k, 4096, round_up(k, 256))

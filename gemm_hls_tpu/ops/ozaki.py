@@ -382,7 +382,12 @@ def ozaki_matmul_int8_distributed(a: np.ndarray, b: np.ndarray, mesh, *,
     kp = round_up(k, px * py * 256)
     bm = min(bm, mp // px)
     bn = min(bn, np_ // py)
+    # kp is a multiple of px*py*256 (shard alignment) but not necessarily of
+    # the preferred 2048 K block; halve bk until it divides kp (terminates at
+    # 256, which always divides kp), keeping every candidate lane-aligned.
     bk = min(bk, kp)
+    while kp % bk:
+        bk //= 2
     sa_p = np.zeros((n_slices, mp, kp), np.int8)
     sa_p[:, :m, :k] = sa
     sb_p = np.zeros((n_slices, kp, np_), np.int8)

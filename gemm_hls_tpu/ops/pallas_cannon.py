@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _cannon_kernel(a_ref, b_ref, o_ref, comm_a, comm_b, a_vmem, b_vmem, acc,
-                   stage_sem, sa_send, sa_recv, sb_send, sb_recv, out_sem, *,
-                   p, axis_name, precision, use_barrier):
+                   stage_sem, sa_send, sa_recv, sb_send, sb_recv, out_sem,
+                   ack_a, ack_b, *, p, axis_name, precision, use_barrier):
     d = jax.lax.axis_index(axis_name)
     i, j = d // p, d % p
 
@@ -65,6 +65,8 @@ def _cannon_kernel(a_ref, b_ref, o_ref, comm_a, comm_b, a_vmem, b_vmem, acc,
     acc[:] = jnp.zeros_like(acc)
     left = flat(i, (j - 1 + p) % p)
     up = flat((i - 1 + p) % p, j)
+    right = flat(i, (j + 1) % p)
+    down = flat((i + 1) % p, j)
 
     for s in range(p):
         cur, nxt = s % 2, (s + 1) % 2
@@ -75,7 +77,19 @@ def _cannon_kernel(a_ref, b_ref, o_ref, comm_a, comm_b, a_vmem, b_vmem, acc,
         cp_b.start()
         cp_a.wait()
         cp_b.wait()
+        if s <= p - 3 and use_barrier:
+            # Backpressure acks: comm_[ab][cur] are free once staged into
+            # VMEM.  A arrives from the right neighbor, B from below; each
+            # consumes one ack before its send from step 1 on, so a fast
+            # sender cannot overwrite a buffer a slower peer still reads.
+            pltpu.semaphore_signal(ack_a, inc=1, device_id=right,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(ack_b, inc=1, device_id=down,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
         if s + 1 < p:
+            if s >= 1 and use_barrier:
+                pltpu.semaphore_wait(ack_a, 1)
+                pltpu.semaphore_wait(ack_b, 1)
             # Shift while multiplying: A left, B up (torus neighbors).
             ra = pltpu.make_async_remote_copy(
                 src_ref=comm_a.at[cur], dst_ref=comm_a.at[nxt],
@@ -155,6 +169,8 @@ def cannon_matmul_fused(a, b, p: int, *, devices=None, interpret: bool = None,
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.REGULAR,
+                pltpu.SemaphoreType.REGULAR,
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True,

@@ -74,6 +74,105 @@ def _oz_kernel(sa_ref, sb_ref, hi_ref, lo_ref, acc_hi, acc_lo, *,
         lo_ref[:] = acc_lo[:]
 
 
+def _diag_kernel(sa_ref, sb_ref, o_ref, *acc_refs, n_slices, n_diags,
+                 n_k_grid):
+    """fp32-class variant: one int32 accumulator per slice diagonal, carried
+    exactly across ALL K steps (no per-block float flush), combined into a
+    single float32 output at the last step.
+
+    Exactness: diagonal d accumulates pairs(d) <= n_slices products of
+    7-bit slices over the full contraction, bounded by
+    ``n_slices * 127^2 * K < 2^31`` (the wrapper enforces it).  The only
+    rounding in the whole scheme is the final int32->f32 convert + weighted
+    sum (~2^-24), below the 2^-21 truncation floor of the 3-slice split —
+    and it removes the per-K-block TwoSum cascade that cost the hi/lo
+    kernel ~18% of the int8 engine.
+    """
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        for acc in acc_refs:
+            acc[:] = jnp.zeros_like(acc)
+
+    for d in range(n_diags):
+        p_d = None
+        for i in range(d + 1):
+            j = d - i
+            if i >= n_slices or j >= n_slices:
+                continue
+            p = jax.lax.dot_general(
+                sa_ref[i], sb_ref[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            p_d = p if p_d is None else p_d + p
+        if p_d is not None:
+            acc_refs[d][:] += p_d
+
+    @pl.when(pl.program_id(2) == n_k_grid - 1)
+    def _store():
+        out = acc_refs[0][:].astype(jnp.float32)
+        for d in range(1, n_diags):
+            w = jnp.float32(2.0 ** (-SLICE_BITS * d))
+            out += acc_refs[d][:].astype(jnp.float32) * w
+        o_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
+                                             "n_diags", "interpret"))
+def fused_int8_fp32(sa, sb, *, block_m: int = 512, block_n: int = 1024,
+                    block_k: int = 4096, n_diags: int = None,
+                    interpret: bool = None):
+    """fp32-class slice-triangle GEMM: (n, M, K) int8 x (n, K, N) int8 ->
+    (M, N) float32 (unscaled; the caller applies the row/column ulps).
+
+    The fast path for ``fp32_matmul_int8``: per-diagonal int32 accumulators
+    across the whole K (exact), one f32 combine at the end.  Requires
+    ``n_slices * 127^2 * K < 2^31`` (K <= 2^17 for 3 slices); beyond that,
+    use :func:`fused_ozaki_int8` (per-block flush, K unbounded).
+    """
+    n_slices, m, k = sa.shape
+    n = sb.shape[2]
+    if n_diags is None:
+        n_diags = n_slices
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if m % block_m or n % block_n or k % block_k:
+        raise ValueError(f"({m},{n},{k}) not divisible by blocks "
+                         f"({block_m},{block_n},{block_k})")
+    if n_slices * (127 ** 2) * k >= (1 << 31):
+        raise ValueError(
+            f"K={k} exceeds the whole-K int32 exactness bound for "
+            f"{n_slices} slices; use fused_ozaki_int8 instead")
+    grid = (m // block_m, n // block_n, k // block_k)
+    kernel = functools.partial(_diag_kernel, n_slices=n_slices,
+                               n_diags=n_diags, n_k_grid=grid[2])
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_slices, block_m, block_k),
+                         lambda i, j, kk: (0, i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_slices, block_k, block_n),
+                         lambda i, j, kk: (0, kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)
+                        for _ in range(n_diags)],
+        interpret=interpret,
+        name=f"int8_fp32_diag_{n_slices}x",
+        **kwargs,
+    )(sa, sb)
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
                                              "n_diags", "interpret"))
 def fused_ozaki_int8(sa, sb, *, block_m: int = 128, block_n: int = 512,

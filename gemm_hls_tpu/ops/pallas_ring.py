@@ -22,6 +22,13 @@ the bandwidth-optimal all-gather volume, fully overlapped.
 Validated end-to-end on the virtual CPU mesh (interpret mode executes the
 real RDMA/semaphore protocol); single-chip-pool environments cannot measure
 ICI overlap — see docs/ROADMAP.md.
+
+Backpressure: the double buffer alone bounds sender run-ahead to one step —
+exactly the step that races a slow reader — so compiled mode adds a
+receiver-to-sender "buffer consumed" ack semaphore per step.  The ack path
+is compiled-mode only (the interpreter cannot lower remote semaphore
+signals and serializes devices, so the race cannot occur there); its
+signal/wait counts balance by construction (n_dev - 2 each).
 """
 
 from __future__ import annotations
@@ -39,8 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _ring_kernel(a_ref, b_ref, o_ref, a_vmem, b_buf, o_vmem,
-                 copy_sem, send_sem, recv_sem, *, n_dev, nl, axis_name,
-                 precision, use_barrier=True):
+                 copy_sem, send_sem, recv_sem, ack_sem, *, n_dev, nl,
+                 axis_name, precision, use_barrier=True):
     my = jax.lax.axis_index(axis_name)
 
     # Stage local operands into VMEM (the aBuffer-init analogue,
@@ -68,6 +75,16 @@ def _ring_kernel(a_ref, b_ref, o_ref, a_vmem, b_buf, o_vmem,
     for s in range(n_dev):
         cur, nxt = s % 2, (s + 1) % 2
         if s + 1 < n_dev:
+            if s >= 1 and use_barrier:
+                # Backpressure: our step-s copy lands in the right
+                # neighbor's b_buf[nxt] — the buffer it reads during its
+                # step s-1.  Wait for its "consumed" ack so a fast sender
+                # cannot run ahead and corrupt a slower reader (the
+                # double-buffer alone bounds run-ahead to one step, which
+                # is exactly the racing step).  Compiled mode only: the
+                # interpreter cannot lower remote semaphore signals (and
+                # emulates global ordering itself).
+                pltpu.semaphore_wait(ack_sem, 1)
             # Forward the block we hold to the right neighbor while the MXU
             # works on it (the B-relay of the PE chain, Compute.cpp:103-106).
             rdma = pltpu.make_async_remote_copy(
@@ -80,6 +97,12 @@ def _ring_kernel(a_ref, b_ref, o_ref, a_vmem, b_buf, o_vmem,
         o_vmem[:, pl.ds(src_dev * nl, nl)] = jnp.dot(
             a_vmem[:], b_buf[cur], preferred_element_type=o_vmem.dtype,
             precision=precision)
+        if s <= n_dev - 3 and use_barrier:
+            # Tell the left neighbor we are done reading b_buf[cur]; it
+            # consumes one ack before each send from step 1 on (signal
+            # count = wait count = n_dev - 2, so the semaphore drains).
+            pltpu.semaphore_signal(ack_sem, inc=1, device_id=left,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
         if s + 1 < n_dev:
             rdma.wait()
 
@@ -90,8 +113,8 @@ def _ring_kernel(a_ref, b_ref, o_ref, a_vmem, b_buf, o_vmem,
 
 def _ring_kernel_tiled(a_ref, b_ref, o_ref, comm_ref, a_tile, b_tile, acc,
                        out_tile, copy_sem, tile_sem, send_sem, recv_sem,
-                       out_sem, *, n_dev, nl, bk, axis_name, precision,
-                       use_barrier):
+                       out_sem, ack_sem, *, n_dev, nl, bk, axis_name,
+                       precision, use_barrier):
     """Out-of-VMEM variant: operands and the circulating B blocks stay in
     HBM; each ring step streams K in ``bk`` chunks through double-buffered
     VMEM tiles while the next B block arrives over the ring — the full
@@ -119,6 +142,11 @@ def _ring_kernel_tiled(a_ref, b_ref, o_ref, comm_ref, a_tile, b_tile, acc,
     for s in range(n_dev):
         cur, nxt = s % 2, (s + 1) % 2
         if s + 1 < n_dev:
+            if s >= 1 and use_barrier:
+                # Backpressure ack (see _ring_kernel): the right neighbor
+                # must have finished streaming comm_ref[nxt] through its
+                # step s-1 K loop before we overwrite it.
+                pltpu.semaphore_wait(ack_sem, 1)
             rdma = pltpu.make_async_remote_copy(
                 src_ref=comm_ref.at[cur], dst_ref=comm_ref.at[nxt],
                 send_sem=send_sem.at[cur], recv_sem=recv_sem.at[nxt],
@@ -155,6 +183,11 @@ def _ring_kernel_tiled(a_ref, b_ref, o_ref, comm_ref, a_tile, b_tile, acc,
             return ()
 
         jax.lax.fori_loop(0, n_k, k_body, ())
+        if s <= n_dev - 3 and use_barrier:
+            # All K tiles of comm_ref[cur] have been staged and consumed;
+            # release the left neighbor's next send into this buffer.
+            pltpu.semaphore_signal(ack_sem, inc=1, device_id=left,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
 
         src_dev = (my - s + n_dev) % n_dev
         out_tile[:] = acc[:].astype(out_tile.dtype)
@@ -231,6 +264,7 @@ def ring_matmul(a, b, mesh: Mesh, *, axis: str = "x",
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.REGULAR,
                 ],
                 interpret=interpret,
                 compiler_params=pltpu.CompilerParams(has_side_effects=True,
@@ -257,6 +291,7 @@ def ring_matmul(a, b, mesh: Mesh, *, axis: str = "x",
                     pltpu.SemaphoreType.DMA(()),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.REGULAR,
                 ],
                 interpret=interpret,
                 compiler_params=pltpu.CompilerParams(has_side_effects=True,

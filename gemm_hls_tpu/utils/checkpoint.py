@@ -25,7 +25,10 @@ def save_checkpoint(path: str, state: Any) -> str:
     """Save a pytree of arrays. Directory path -> orbax; ``.npz`` -> numpy."""
     if path.endswith(".npz"):
         leaves, _ = _flatten(state)
-        np.savez(path, *[np.asarray(x) for x in leaves])
+        # Deterministic indexed keys (leaf order of the pytree) so restore
+        # never depends on np.load's file ordering.
+        np.savez(path, **{f"arr_{i}": np.asarray(x)
+                          for i, x in enumerate(leaves)})
         return path
     import orbax.checkpoint as ocp
 
@@ -42,11 +45,21 @@ def load_checkpoint(path: str, like: Optional[Any] = None) -> Any:
             raise ValueError("load_checkpoint(.npz) needs a `like` template")
         leaves, treedef = _flatten(like)
         with np.load(path) as data:
-            arrays = [data[k] for k in data.files]
-        if len(arrays) != len(leaves):
-            raise ValueError(
-                f"checkpoint has {len(arrays)} leaves, template has "
-                f"{len(leaves)}")
+            if len(data.files) != len(leaves):
+                raise ValueError(
+                    f"checkpoint has {len(data.files)} leaves, template has "
+                    f"{len(leaves)}")
+            arrays = []
+            for i, leaf in enumerate(leaves):
+                key = f"arr_{i}"
+                if key not in data:
+                    raise ValueError(f"checkpoint is missing leaf {key}")
+                a = data[key]
+                if tuple(a.shape) != tuple(np.shape(leaf)):
+                    raise ValueError(
+                        f"checkpoint leaf {i} has shape {tuple(a.shape)}, "
+                        f"template expects {tuple(np.shape(leaf))}")
+                arrays.append(a)
         import jax.numpy as jnp
         restored = [jnp.asarray(a, dtype=l.dtype) for a, l in
                     zip(arrays, leaves)]

@@ -94,8 +94,16 @@ int transfer_tile(MatrixFile* m, int64_t r0, int64_t r1, int64_t c0,
 
 extern "C" {
 
+// Rejects non-positive dims and rows*cols*itemsize overflow.
+bool bad_geometry(int64_t rows, int64_t cols, int64_t itemsize) {
+  if (rows <= 0 || cols <= 0 || itemsize <= 0) return true;
+  if (rows > INT64_MAX / cols) return true;
+  return rows * cols > INT64_MAX / itemsize;
+}
+
 void* tileio_open(const char* path, int64_t rows, int64_t cols,
                   int64_t itemsize, int writable) {
+  if (bad_geometry(rows, cols, itemsize)) return nullptr;
   auto* m = new MatrixFile();
   m->rows = rows;
   m->cols = cols;
@@ -103,6 +111,15 @@ void* tileio_open(const char* path, int64_t rows, int64_t cols,
   m->writable = writable != 0;
   m->fd = open(path, writable ? O_RDWR : O_RDONLY);
   if (m->fd < 0) {
+    delete m;
+    return nullptr;
+  }
+  // A file smaller than the declared geometry would mmap fine but SIGBUS
+  // the whole process on first access past EOF; fail the open instead.
+  struct stat st;
+  if (fstat(m->fd, &st) != 0 ||
+      static_cast<int64_t>(st.st_size) < m->bytes()) {
+    close(m->fd);
     delete m;
     return nullptr;
   }
@@ -119,6 +136,7 @@ void* tileio_open(const char* path, int64_t rows, int64_t cols,
 
 void* tileio_create(const char* path, int64_t rows, int64_t cols,
                     int64_t itemsize) {
+  if (bad_geometry(rows, cols, itemsize)) return nullptr;
   const int fd = open(path, O_RDWR | O_CREAT | O_TRUNC, 0644);
   if (fd < 0) return nullptr;
   if (ftruncate(fd, rows * cols * itemsize) != 0) {

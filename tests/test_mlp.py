@@ -111,3 +111,18 @@ def test_fused_training_matches_unfused():
                                np.asarray(g_ref[0][0]), rtol=1e-3, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g_fused[1][1]),
                                np.asarray(g_ref[1][1]), rtol=1e-3, atol=1e-6)
+
+
+def test_checkpoint_npz_rejects_shape_mismatch(tmp_path):
+    """Regression: same leaf count but different shapes must raise, not
+    silently restore arrays into the wrong pytree slots (ADVICE r1)."""
+    import pytest
+    from gemm_hls_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    state = {"w": np.ones((4, 8), np.float32), "b": np.zeros((8,), np.float32)}
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, state)
+    bad_template = {"w": np.ones((8, 4), np.float32),
+                    "b": np.zeros((8,), np.float32)}
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(p, like=bad_template)

@@ -153,3 +153,22 @@ def test_int8_distributed_matches_oracle():
     normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
                                  * np.linalg.norm(b, axis=0)[None, :])
     assert normw.max() < 1e-13, f"normwise {normw.max():.2e}"
+
+
+def test_int8_distributed_awkward_k():
+    """Regression: K values where round_up(k, px*py*256) is not divisible by
+    the preferred 2048 K block (e.g. K=2500 -> kp=3072 on a 2x2 mesh) must
+    shrink the block instead of crashing (ADVICE r1)."""
+    from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8_distributed
+    from gemm_hls_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2, 2), ("x", "y"))
+    rng = np.random.default_rng(17)
+    a = rng.uniform(-5, 5, (32, 2500))
+    b = rng.uniform(-5, 5, (2500, 32))
+    # target_rel=1e-6 keeps the interpret-mode slice triangle small.
+    got = ozaki_matmul_int8_distributed(a, b, mesh, target_rel=1e-6)
+    exp = a @ b
+    normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
+                                 * np.linalg.norm(b, axis=0)[None, :])
+    assert normw.max() < 1e-6, f"normwise {normw.max():.2e}"

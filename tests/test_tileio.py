@@ -66,3 +66,20 @@ def test_disk_resident_semiring(tmp_path):
         streamed_matmul_files(fa, fb, fc, semiring="min_plus", tile_m=16,
                               tile_n=16, tile_k=32)
         verify_matmul(fc.read_tile(0, 40, 0, 48), exp)
+
+
+def test_too_small_file_rejected_at_open(tmp_path):
+    # A file smaller than the declared geometry must fail tileio_open with
+    # an OSError — not SIGBUS the process on first out-of-range access.
+    p = tmp_path / "small.bin"
+    p.write_bytes(b"\x00" * 64)  # 16 float32s, far less than 64x64
+    with pytest.raises(OSError):
+        MatrixFile(p, 64, 64, np.float32)
+
+
+def test_overflowing_geometry_rejected(tmp_path):
+    p = tmp_path / "m.bin"
+    with MatrixFile(p, 8, 8, np.float32, create=True):
+        pass
+    with pytest.raises((OSError, OverflowError, ValueError)):
+        MatrixFile(p, 2**62, 2**62, np.float32)

@@ -161,13 +161,44 @@ def main():
                        jax.jit(lambda x, y: jnp.dot(x, y)), (a16, b16))
 
     a32, b32 = gen(6, jnp.float32)
-    f32_gf = bench_one(
-        "pallas fp32 (full accuracy, default)",
-        jax.jit(lambda x, y: matmul(x, y, config=cfg_f32)), (a32, b32))
+    # fp32 modes, from most to least accurate.  Each is verified at 1024^3
+    # against the f64 oracle below; the headline fp32 number is the fastest
+    # mode that passes the reference's 1e-3 verification contract
+    # (TestSimulation.cpp:79-85) — the same semantics as the reference's
+    # benchmark (RunHardware reports the verified kernel's rate).
+    f32_modes = {
+        "highest": jax.jit(lambda x, y: matmul(x, y, config=cfg_f32)),
+        "i8x3": jax.jit(lambda x, y: matmul(
+            x, y, config=cfg_f32.replace(precision="i8x3"))),
+        "i8x2": jax.jit(lambda x, y: matmul(
+            x, y, config=cfg_f32.replace(precision="i8x2"))),
+        "default": jax.jit(lambda x, y: matmul(
+            x, y, config=cfg_f32.replace(precision="default"))),
+    }
+    exp_f = reference_matmul(a_f, b_f)
+    f32_err = {}
+    for name, fn in f32_modes.items():
+        try:
+            out_m = fn(jnp.asarray(a_f), jnp.asarray(b_f))
+            _, f32_err[name] = check_result(np.asarray(out_m), exp_f,
+                                            rtol=1e-3)
+        except Exception as e:  # noqa: BLE001
+            log(f"fp32 mode {name} verify FAILED: {e}")
+            f32_err[name] = float("inf")
+        log(f"fp32 mode {name} @ {verify_size}^3 rel err: "
+            f"{f32_err[name]:.2e}")
+
+    f32_rate = {}
+    f32_rate["highest"] = bench_one(
+        "pallas fp32 HIGHEST (full accuracy)", f32_modes["highest"],
+        (a32, b32))
     f32_fast_gf = bench_one(
-        "pallas fp32 fast mode (~5e-4 err)",
-        jax.jit(lambda x, y: matmul(
-            x, y, config=cfg_f32.replace(precision="default"))), (a32, b32))
+        "pallas fp32 fast mode (~5e-4 err)", f32_modes["default"], (a32, b32))
+    f32_rate["default"] = f32_fast_gf
+    xla_f32_hi_gf = bench_one(
+        "xla jnp.dot fp32 HIGHEST",
+        jax.jit(lambda x, y: jnp.dot(
+            x, y, precision=jax.lax.Precision.HIGHEST)), (a32, b32))
 
     if on_tpu:
         @jax.jit
@@ -202,22 +233,10 @@ def main():
             log(f"ozaki bench FAILED: {e}")
 
         # fp32-class GEMM on the int8 MXU path (integer slices).
-        i8x2_gf = i8x3_gf = None
-        try:
-            from gemm_hls_tpu.ops.int8_slices import fp32_matmul_int8
-            for ns in (2, 3):
-                fi8 = jax.jit(lambda x, y, nn=ns: fp32_matmul_int8(
-                    x, y, n_slices=nn))
-                t_i8 = time_fn(fi8, [(a32, b32)], iters=10)
-                gfi = gflops(m, n, k, t_i8)
-                log(f"fp32 via int8 slices (n={ns}): {t_i8 * 1e3:.2f} ms -> "
-                    f"{gfi:.0f} GFLOP/s")
-                if ns == 2:
-                    i8x2_gf = gfi
-                else:
-                    i8x3_gf = gfi
-        except Exception as e:  # noqa: BLE001
-            log(f"int8-slice bench FAILED: {e}")
+        for ns in ("i8x2", "i8x3"):
+            f32_rate[ns] = bench_one(f"fp32 via int8 slices ({ns})",
+                                     f32_modes[ns], (a32, b32))
+        i8x2_gf, i8x3_gf = f32_rate.get("i8x2"), f32_rate.get("i8x3")
 
         mp_size = 4096
         amp = a32[:mp_size, :mp_size]
@@ -238,6 +257,14 @@ def main():
         int8_gf, t_mp, oz_gf = None, None, None
         i8x2_gf = i8x3_gf = None
 
+    # Headline fp32: fastest mode passing the reference's 1e-3 contract.
+    passing = {name: r for name, r in f32_rate.items()
+               if r and f32_err.get(name, float("inf")) < 1e-3}
+    f32_method = max(passing, key=passing.get) if passing else "highest"
+    f32_gf = passing.get(f32_method) or f32_rate.get("highest")
+    log(f"fp32 headline: {f32_method} at {f32_gf or 0:.0f} GFLOP/s "
+        f"(rel err {f32_err.get(f32_method, float('nan')):.2e})")
+
     result = {
         "metric": f"bf16_gemm_{size}_gflops",
         "value": round(best_gf, 1),
@@ -248,6 +275,13 @@ def main():
         "vs_xla_dot": round(best_gf / xla_gf, 3) if xla_gf else None,
         "blocks": [best_cfg.block_m, best_cfg.block_n, best_cfg.block_k],
         "fp32_gflops": round(f32_gf, 1) if f32_gf else None,
+        "fp32_method": f32_method,
+        "fp32_rel_err": (round(f32_err[f32_method], 10)
+                         if f32_err.get(f32_method, float("inf")) < 1 else None),
+        "fp32_gflops_highest": (round(f32_rate["highest"], 1)
+                                if f32_rate.get("highest") else None),
+        "xla_fp32_highest": (round(xla_f32_hi_gf, 1)
+                             if xla_f32_hi_gf else None),
         "fp32_gflops_fast": round(f32_fast_gf, 1) if f32_fast_gf else None,
         "fp32_gflops_i8x2": round(i8x2_gf, 1) if i8x2_gf else None,
         "fp32_gflops_i8x3": round(i8x3_gf, 1) if i8x3_gf else None,

@@ -68,16 +68,17 @@ def fp32_matmul_int8(a, b, *, block_m: int = 512, block_n: int = 1024,
     bilinear map C = A.B is exactly dA = g.B^T, dB = A^T.g, computed with
     the same integer-slice scheme so training pays the same reduced cost.
 
-    ``fused`` selects the execution strategy; the default (None) picks
-    automatically.  ``False`` runs staged per-pair int8 GEMMs — fastest
-    for these shallow 3/6-product triangles (95.4 vs 90.2 TF measured at
-    i8x2 8192^3 on v5e) but its whole-K int32 accumulation requires
-    K <= 2^17.  ``True`` runs the single-kernel slice triangle
-    (``ops/pallas_ozaki.py``): int32 accumulates per K block only, so the
-    contraction length is unbounded — chosen automatically when K is too
-    long for the staged path."""
+    ``fused`` selects the execution strategy; the default (None -> True)
+    runs the single-kernel slice triangle (``ops/pallas_ozaki.py``): for
+    K within the whole-K int32 bound it uses per-diagonal int32
+    accumulators with zero per-block float work (96.7 / 53.4 TF measured
+    at i8x2 / i8x3 8192^3 on v5e — vs 95.4 / 51.3 staged), and beyond the
+    bound it flushes exactly per K block (contraction length unbounded).
+    ``False`` runs staged per-pair int8 GEMMs (each partial through HBM),
+    kept for cross-validation; its whole-K int32 accumulation requires
+    K <= 2^17."""
     if fused is None:
-        fused = a.shape[-1] > (1 << 17)
+        fused = True
     return _i8_vjp(a, b, block_m, block_n, block_k, n_slices, fused)
 
 
@@ -140,9 +141,11 @@ def _fp32_matmul_int8_impl(a, b, *, block_m: int = 512, block_n: int = 1024,
         if whole_k_exact:
             # Fast path: per-diagonal int32 accumulators across the whole K
             # — no per-block float flush at all (see _diag_kernel).
+            # bk=2048 measured fastest on v5e (53.4/96.7 TF for x3/x2 at
+            # 8192^3; 4096 loses ~4% to double-buffer pressure).
             bm = min(block_m, round_up(m, 32))
             bn = min(block_n, round_up(n, 128))
-            bk = min(block_k, 4096, round_up(k, 256))
+            bk = min(block_k, 2048, round_up(k, 256))
             mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
             sa_p = jnp.pad(sa, ((0, 0), (0, mp - m), (0, kp - k)))
             sb_p = jnp.pad(sb, ((0, 0), (0, kp - k), (0, np_ - n)))

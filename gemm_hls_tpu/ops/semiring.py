@@ -54,6 +54,12 @@ class Semiring:
         the 128x128 MXU; everything else takes the VPU path — the analogue of
         the reference's DSP-vs-LUT operator resource binding
         (``include/MatrixMultiplication.h:141-153``).
+      absorbing: optional (pad_a, pad_b) scalars with
+        ``map(pad_a, pad_b) == identity`` — values safe to K-pad operands
+        with so padded contraction indices contribute the reduce identity
+        (the algebraic form of the reference's K-tail masking,
+        ``kernel/Compute.cpp:112-137``).  None = this semiring cannot be
+        K-padded; callers must mask instead.
     """
 
     name: str
@@ -64,6 +70,7 @@ class Semiring:
     np_reduce: np.ufunc
     is_mxu: bool = False
     reduce_axis: Optional[Callable] = None
+    absorbing: Optional[tuple] = None
 
     def reduce_along(self, x, axis: int):
         """Reduce ``x`` along ``axis``: native reduction when available,
@@ -89,6 +96,23 @@ class Semiring:
         if d.kind == "b":
             return self.name in ("or_and",)
         return True
+
+    def absorbing_for(self, dtype):
+        """The (pad_a, pad_b) K-padding pair cast to ``dtype`` (inf ->
+        integer extremes), or None when the semiring has no absorbing pair."""
+        if self.absorbing is None:
+            return None
+        d = np.dtype(dtype)
+
+        def cast(v):
+            if d.kind in "iu" and isinstance(v, float) and np.isinf(v):
+                info = np.iinfo(d)
+                return info.max if v > 0 else info.min
+            if d.kind == "b":
+                return bool(v)
+            return np.asarray(v, d)[()]
+
+        return cast(self.absorbing[0]), cast(self.absorbing[1])
 
 
 _REGISTRY: Dict[str, Semiring] = {}
@@ -125,6 +149,7 @@ register_semiring(Semiring(
     np_map=np.multiply, np_reduce=np.add,
     reduce_axis=jnp.sum,
     is_mxu=True,
+    absorbing=(0, 0),
 ))
 
 register_semiring(Semiring(
@@ -132,6 +157,7 @@ register_semiring(Semiring(
     map_op=jnp.add, reduce_op=jnp.minimum, identity=float("inf"),
     np_map=np.add, np_reduce=np.minimum,
     reduce_axis=jnp.min,
+    absorbing=(float("inf"), float("inf")),
 ))
 
 register_semiring(Semiring(
@@ -139,6 +165,7 @@ register_semiring(Semiring(
     map_op=jnp.add, reduce_op=jnp.maximum, identity=float("-inf"),
     np_map=np.add, np_reduce=np.maximum,
     reduce_axis=jnp.max,
+    absorbing=(float("-inf"), float("-inf")),
 ))
 
 register_semiring(Semiring(
@@ -146,6 +173,7 @@ register_semiring(Semiring(
     map_op=jnp.minimum, reduce_op=jnp.maximum, identity=float("-inf"),
     np_map=np.minimum, np_reduce=np.maximum,
     reduce_axis=jnp.max,
+    absorbing=(float("-inf"), float("-inf")),
 ))
 
 register_semiring(Semiring(
@@ -153,6 +181,7 @@ register_semiring(Semiring(
     map_op=jnp.maximum, reduce_op=jnp.minimum, identity=float("inf"),
     np_map=np.maximum, np_reduce=np.minimum,
     reduce_axis=jnp.min,
+    absorbing=(float("inf"), float("inf")),
 ))
 
 register_semiring(Semiring(
@@ -166,6 +195,7 @@ register_semiring(Semiring(
     name="or_and",
     map_op=jnp.logical_and, reduce_op=jnp.logical_or, identity=False,
     np_map=np.logical_and, np_reduce=np.logical_or,
+    absorbing=(False, False),
 ))
 
 def _absdiff(x, y):
@@ -193,6 +223,7 @@ register_semiring(Semiring(
     name="plus_absdiff",
     map_op=_absdiff, reduce_op=jnp.add, identity=0,
     np_map=_np_absdiff, np_reduce=np.add, reduce_axis=jnp.sum,
+    absorbing=(0, 0),
 ))
 
 register_semiring(Semiring(
@@ -200,6 +231,7 @@ register_semiring(Semiring(
     name="plus_sqdiff",
     map_op=_sqdiff, reduce_op=jnp.add, identity=0,
     np_map=_np_sqdiff, np_reduce=np.add, reduce_axis=jnp.sum,
+    absorbing=(0, 0),
 ))
 
 register_semiring(Semiring(
@@ -209,4 +241,5 @@ register_semiring(Semiring(
     map_op=jnp.add, reduce_op=jnp.logaddexp, identity=float("-inf"),
     np_map=np.add, np_reduce=np.logaddexp,
     reduce_axis=None,
+    absorbing=(float("-inf"), float("-inf")),
 ))

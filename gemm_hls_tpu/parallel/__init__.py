@@ -3,6 +3,7 @@ from gemm_hls_tpu.parallel.summa import (
     summa_matmul, cannon_matmul, shard_operands_2d,
 )
 from gemm_hls_tpu.parallel.grid25d import matmul_25d, shard_operands_25d
+from gemm_hls_tpu.parallel.dispatch import distributed_matmul
 from gemm_hls_tpu.ops.pallas_cannon import cannon_matmul_fused
 from gemm_hls_tpu.ops.pallas_ring import ring_matmul, shard_operands_ring
 from gemm_hls_tpu.parallel.staging import (
@@ -10,6 +11,7 @@ from gemm_hls_tpu.parallel.staging import (
 )
 
 __all__ = [
+    "distributed_matmul",
     "make_mesh",
     "mesh_25d",
     "summa_matmul",

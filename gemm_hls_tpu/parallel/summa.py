@@ -60,34 +60,53 @@ def shard_operands_2d(a, b, mesh: Mesh, axes: Tuple[str, str] = ("x", "y")):
 
 def summa_matmul(a, b, mesh: Mesh, *, axes: Tuple[str, str] = ("x", "y"),
                  semiring="plus_times", config: Optional[GemmConfig] = None,
-                 out_dtype=None):
-    """Gather-SUMMA: C[P(x,y)] = A[P(x,y)] . B[P(x,y)].
+                 out_dtype=None, transpose_a: bool = False,
+                 transpose_b: bool = False):
+    """Gather-SUMMA: C[P(x,y)] = op(A) . op(B), operands P(x,y)-sharded.
 
     Per-device comm volume: (py-1)/py * |A_row_panel| + (px-1)/px *
     |B_col_panel| — the 2-D communication-avoiding optimum for stationary-C.
+
+    ``transpose_a``: A is supplied (K, M) sharded P(ay, ax) — the gathered
+    local panel stays K-major and the local kernel contracts its leading
+    axis via BlockSpec index maps (zero materialized transposes end to end;
+    the distributed extension of the reference's ``MM_TRANSPOSED_A`` path,
+    ``kernel/Memory.cpp:205-261``).  ``transpose_b`` likewise takes B as
+    (N, K) sharded P(ay, ax).
     """
     sr = get_semiring(semiring)
     ax, ay = axes
     px = mesh.shape[ax]
     py = mesh.shape[ay]
-    m, k = a.shape
-    n = b.shape[1]
+    m, k = (a.shape[1], a.shape[0]) if transpose_a else a.shape
+    n = b.shape[0] if transpose_b else b.shape[1]
     if m % px or k % (px * py) or n % py:
         raise ValueError(
             f"shape ({m},{n},{k}) not divisible by mesh {px}x{py} "
             f"(K must divide {px * py})"
         )
     cfg = _local_config(config, a.dtype, m // px, n // py, k, sr.name)
+    cfg = cfg.replace(transpose_a=transpose_a, transpose_b=transpose_b)
+    if transpose_a:
+        # Transposed A puts block_m on the lane dimension (must be %128).
+        cfg = cfg.replace(block_m=round_up(cfg.block_m, LANE))
     if out_dtype is not None:
         cfg = cfg.replace(out_dtype=str(jnp.dtype(out_dtype)))
 
+    a_spec = P(ay, ax) if transpose_a else P(ax, ay)
+    b_spec = P(ay, ax) if transpose_b else P(ax, ay)
+
     def local(a_blk, b_blk):
-        a_panel = jax.lax.all_gather(a_blk, ay, axis=1, tiled=True)   # (m/px, k)
-        b_panel = jax.lax.all_gather(b_blk, ax, axis=0, tiled=True)   # (k, n/py)
+        # Gather the K axis regardless of layout: axis 0 of a (K, m/px)
+        # transposed panel, axis 1 of an (m/px, K) one.
+        a_panel = jax.lax.all_gather(a_blk, ay, axis=(0 if transpose_a else 1),
+                                     tiled=True)
+        b_panel = jax.lax.all_gather(b_blk, ax, axis=(1 if transpose_b else 0),
+                                     tiled=True)
         return matmul(a_panel, b_panel, semiring=sr, config=cfg)
 
     fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(ax, ay), P(ax, ay)),
+                       in_specs=(a_spec, b_spec),
                        out_specs=P(ax, ay), check_vma=False)
     return fn(a, b)
 

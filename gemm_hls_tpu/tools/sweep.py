@@ -122,14 +122,117 @@ def _alarm(seconds: Optional[float]):
         signal.signal(signal.SIGALRM, old)
 
 
+def _child_main(payload_json: str) -> int:
+    """Entry point of one isolated sweep child (fresh interpreter).
+
+    Reads a JSON work order, prints a single JSON result line to stdout.
+    Invoked as ``python -m gemm_hls_tpu.tools.sweep --child '<json>'``.
+    """
+    import json
+
+    p = json.loads(payload_json)
+    try:
+        if p.get("platform"):
+            # The in-process platform override must land before the first
+            # backend query (env vars are overridden by platform plugins).
+            import jax
+            jax.config.update("jax_platforms", p["platform"])
+        if p.get("setup_code"):
+            # The configure.sh hook analogue (build_manager.py:224-234);
+            # also the fault-injection point for the isolation tests.
+            exec(p["setup_code"], {"__name__": "__sweep_child_setup__"})
+        cfg = GemmConfig(**p["cfg"])
+        res = _run_one_inner(cfg, p["m"], p["n"], p["k"],
+                             verify=p["verify"], iters=p["iters"],
+                             backend=p.get("backend"))
+        out = {"status": res.status, "seconds": res.seconds,
+               "gflops": res.gflops, "max_rel_err": res.max_rel_err,
+               "detail": res.detail}
+    except BaseException as e:  # noqa: BLE001 — taxonomy happens here
+        out = {"status": _classify_exception(e),
+               "detail": f"{type(e).__name__}: {e}"[:500]}
+    print("SWEEP_RESULT " + json.dumps(out), flush=True)
+    return 0
+
+
+def _spawn_child(cfg: GemmConfig, m, n, k, *, verify, iters, backend,
+                 platform, setup_code):
+    """Launch one config in a fresh interpreter (real process isolation —
+    survives segfaults and wedged native threads, unlike in-process
+    SIGALRM)."""
+    import json
+    import subprocess
+    import sys
+
+    payload = json.dumps({
+        "cfg": dataclasses.asdict(cfg), "m": m, "n": n, "k": k,
+        "verify": verify, "iters": iters, "backend": backend,
+        "platform": platform, "setup_code": setup_code,
+    })
+    return subprocess.Popen(
+        [sys.executable, "-m", "gemm_hls_tpu.tools.sweep", "--child",
+         payload],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def _reap_child(cfg: GemmConfig, proc,
+                timeout_s: Optional[float]) -> SweepResult:
+    import json
+    import subprocess
+
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        # Hard wall-clock kill: a wedged Mosaic compile or a hang off the
+        # main thread cannot take the scan down
+        # (``build_manager.py:649-669`` semantics).
+        proc.kill()
+        proc.communicate()
+        return SweepResult(cfg, "timeout",
+                           detail=f"killed after {timeout_s}s")
+    payload = None
+    for line in (stdout or "").splitlines():
+        if line.startswith("SWEEP_RESULT "):
+            payload = json.loads(line[len("SWEEP_RESULT "):])
+    if payload is None:
+        tail = (stderr or "").strip().splitlines()[-1:] or [""]
+        return SweepResult(
+            cfg, "crashed",
+            detail=f"subprocess died (exit {proc.returncode}) {tail[0]}"[:200])
+    return SweepResult(cfg, payload["status"], seconds=payload.get("seconds"),
+                       gflops=payload.get("gflops"),
+                       max_rel_err=payload.get("max_rel_err"),
+                       detail=payload.get("detail", ""))
+
+
 def run_one(cfg: GemmConfig, m: int, n: int, k: int, *, verify: bool = True,
             iters: int = 5, backend: Optional[str] = None,
             timeout_s: Optional[float] = None,
-            retries: int = 0) -> SweepResult:
+            retries: int = 0, isolation: str = "none",
+            platform: Optional[str] = None,
+            setup_code: Optional[str] = None) -> SweepResult:
     """Compile + verify + benchmark one configuration, with timeout and
-    retry (``build_manager.py:611-669`` semantics)."""
+    retry (``build_manager.py:611-669`` semantics).
+
+    ``isolation="process"`` runs the configuration in a spawned subprocess
+    with a hard wall-clock kill — the analogue of the reference's
+    per-config build processes (``build_manager.py:417-431``): a crash
+    (even a segfault) or an unkillable hang is classified and the scan
+    continues.  ``setup_code`` is executed in the child before the run
+    (the ``configure.sh`` hook analogue; also the fault-injection point
+    for tests).
+    """
     last = None
     for attempt in range(retries + 1):
+        if isolation == "process":
+            proc = _spawn_child(cfg, m, n, k, verify=verify,
+                                iters=iters, backend=backend,
+                                platform=platform, setup_code=setup_code)
+            res = _reap_child(cfg, proc, timeout_s)
+            if res.status != "timeout":
+                return res
+            last = res
+            continue
         try:
             with _alarm(timeout_s):
                 return _run_one_inner(cfg, m, n, k, verify=verify,
@@ -201,35 +304,32 @@ def sweep(grid: List[Dict], m: int, n: int, k: int, *, base: Optional[GemmConfig
           verify: bool = True, iters: int = 5, progress: bool = False,
           checkpoint_csv: Optional[str] = None,
           timeout_s: Optional[float] = None,
-          retries: int = 0) -> List[SweepResult]:
+          retries: int = 0, isolation: str = "none",
+          backend: Optional[str] = None, platform: Optional[str] = None,
+          workers: int = 1,
+          setup_code: Optional[str] = None) -> List[SweepResult]:
     """Run every configuration in ``grid`` (dicts of GemmConfig overrides).
 
     ``checkpoint_csv``: append each result as it completes and skip
     configurations already present — crash/resume semantics like the
     reference's per-config build dirs (``build_manager.py:224-307``).
+
+    ``isolation="process"``: each configuration runs in its own spawned
+    subprocess (crashes/hangs are contained and classified), and up to
+    ``workers`` children run concurrently — the ``mp.Pool`` scan of the
+    reference (``build_manager.py:417-431``).  Keep ``workers=1`` on real
+    TPU backends (one device client at a time); CPU compile scans
+    parallelize freely.
     """
     import os
     base = base or GemmConfig()
     done = _load_checkpoint(checkpoint_csv) if checkpoint_csv else {}
-    results = []
-    for i, overrides in enumerate(grid):
-        cfg = base.replace(**overrides)
-        key = _config_key(cfg)
-        if key in done:
-            row = done[key]
-            results.append(SweepResult(
-                cfg, row["status"],
-                seconds=float(row["seconds"]) if row["seconds"] else None,
-                gflops=float(row["gflops"]) if row["gflops"] else None,
-                detail=row.get("detail", "") + " [resumed]"))
-            if progress:
-                print(f"[{i + 1}/{len(grid)}] {overrides} -> "
-                      f"{row['status']} (cached)")
-            continue
-        res = run_one(cfg, m, n, k, verify=verify, iters=iters,
-                      timeout_s=timeout_s, retries=retries)
-        results.append(res)
-        if checkpoint_csv:
+    results: List[Optional[SweepResult]] = [None] * len(grid)
+    pending = []  # (index, cfg) still to run
+
+    def emit(i, res, cached=False):
+        results[i] = res
+        if not cached and checkpoint_csv:
             new_file = not os.path.exists(checkpoint_csv)
             with open(checkpoint_csv, "a", newline="") as f:
                 w = csv.DictWriter(f, fieldnames=SweepResult.CSV_COLS)
@@ -237,8 +337,43 @@ def sweep(grid: List[Dict], m: int, n: int, k: int, *, base: Optional[GemmConfig
                     w.writeheader()
                 w.writerow(res.csv_row())
         if progress:
-            print(f"[{i + 1}/{len(grid)}] {overrides} -> {res.status}"
-                  + (f" {res.gflops:.1f} GOp/s" if res.gflops else ""))
+            print(f"[{i + 1}/{len(grid)}] {grid[i]} -> {res.status}"
+                  + (f" {res.gflops:.1f} GOp/s" if res.gflops else "")
+                  + (" (cached)" if cached else ""))
+
+    for i, overrides in enumerate(grid):
+        cfg = base.replace(**overrides)
+        key = _config_key(cfg)
+        if key in done:
+            row = done[key]
+            emit(i, SweepResult(
+                cfg, row["status"],
+                seconds=float(row["seconds"]) if row["seconds"] else None,
+                gflops=float(row["gflops"]) if row["gflops"] else None,
+                detail=row.get("detail", "") + " [resumed]"), cached=True)
+            continue
+        pending.append((i, cfg))
+
+    if isolation == "process" and workers > 1:
+        # Window of concurrently running children, reaped in launch order
+        # (keeps checkpoint append order deterministic enough to resume).
+        window = []  # (index, cfg, proc)
+        for i, cfg in pending:
+            while len(window) >= workers:
+                wi, wcfg, proc = window.pop(0)
+                emit(wi, _reap_child(wcfg, proc, timeout_s))
+            proc = _spawn_child(cfg, m, n, k, verify=verify,
+                                iters=iters, backend=backend,
+                                platform=platform, setup_code=setup_code)
+            window.append((i, cfg, proc))
+        for wi, wcfg, proc in window:
+            emit(wi, _reap_child(wcfg, proc, timeout_s))
+    else:
+        for i, cfg in pending:
+            emit(i, run_one(cfg, m, n, k, verify=verify, iters=iters,
+                            timeout_s=timeout_s, retries=retries,
+                            isolation=isolation, backend=backend,
+                            platform=platform, setup_code=setup_code))
     return results
 
 
@@ -266,6 +401,10 @@ def _int_list(s: str) -> List[int]:
 
 
 def main(argv=None):
+    import sys as _sys
+    args_in = list(argv) if argv is not None else _sys.argv[1:]
+    if args_in[:1] == ["--child"]:
+        return _child_main(args_in[1])
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--m", type=int, required=True)
     p.add_argument("--n", type=int, required=True)
@@ -282,6 +421,16 @@ def main(argv=None):
                    help="incremental CSV for crash/resume")
     p.add_argument("--timeout-s", type=float, default=None)
     p.add_argument("--retries", type=int, default=0)
+    p.add_argument("--isolation", choices=("none", "process"), default="none",
+                   help="'process' runs each config in its own subprocess "
+                        "with a hard kill on timeout")
+    p.add_argument("--workers", type=int, default=1,
+                   help="concurrent isolated children (CPU scans only; "
+                        "keep 1 on TPU)")
+    p.add_argument("--backend", default=None,
+                   help="compute path override passed to matmul (mxu/vpu)")
+    p.add_argument("--platform", default=None,
+                   help="jax platform forced in isolated children (e.g. cpu)")
     args = p.parse_args(argv)
 
     from gemm_hls_tpu.ops.semiring import get_semiring
@@ -298,7 +447,9 @@ def main(argv=None):
     results = sweep(grid, args.m, args.n, args.k, base=base,
                     verify=not args.no_verify, iters=args.iters, progress=True,
                     checkpoint_csv=args.checkpoint, timeout_s=args.timeout_s,
-                    retries=args.retries)
+                    retries=args.retries, isolation=args.isolation,
+                    workers=args.workers, backend=args.backend,
+                    platform=args.platform)
     text = to_csv(results, args.csv)
     if not args.csv:
         print(text)

@@ -92,3 +92,51 @@ def test_run_one_no_timeout_when_fast():
     res = run_one(BASE.replace(block_m=16, block_n=128, block_k=64),
                   32, 128, 64, iters=1, timeout_s=300)
     assert res.status == "ok"
+
+
+def test_isolated_sweep_survives_crash_and_hang(tmp_path):
+    """VERDICT r1 #5: a hard crash (child os._exit — not even an exception)
+    and a hang must be contained by process isolation, classified, and the
+    scan must complete and checkpoint; a rerun resumes the good results."""
+    from gemm_hls_tpu.tools.sweep import run_one, sweep
+
+    cfg = GemmConfig(dtype="float32", block_m=16, block_n=128, block_k=64,
+                     interpret=True)
+
+    crashed = run_one(cfg, 32, 128, 64, verify=False, iters=1,
+                      isolation="process", platform="cpu",
+                      setup_code="import os; os._exit(42)", timeout_s=120)
+    assert crashed.status == "crashed"
+    assert "42" in crashed.detail
+
+    hung = run_one(cfg, 32, 128, 64, verify=False, iters=1,
+                   isolation="process", platform="cpu",
+                   setup_code="import time; time.sleep(600)", timeout_s=3)
+    assert hung.status == "timeout"
+    assert "killed" in hung.detail
+
+    # A full scan containing a healthy config still completes + checkpoints.
+    ck = str(tmp_path / "iso.csv")
+    grid = [dict(block_m=16, block_n=128, block_k=64)]
+    res = sweep(grid, 32, 128, 64, base=cfg, verify=False, iters=1,
+                isolation="process", platform="cpu", timeout_s=120,
+                checkpoint_csv=ck)
+    assert [r.status for r in res] == ["ok"]
+    resumed = sweep(grid, 32, 128, 64, base=cfg, verify=False, iters=1,
+                    isolation="process", platform="cpu", timeout_s=120,
+                    checkpoint_csv=ck)
+    assert "[resumed]" in resumed[0].detail
+
+
+def test_isolated_sweep_parallel_workers(tmp_path):
+    """workers>1 runs isolated children concurrently and preserves order."""
+    from gemm_hls_tpu.tools.sweep import sweep
+
+    base = GemmConfig(dtype="float32", interpret=True)
+    grid = [dict(block_m=16, block_n=128, block_k=64),
+            dict(block_m=32, block_n=128, block_k=64),
+            dict(block_m=16, block_n=128, block_k=32)]
+    res = sweep(grid, 32, 128, 64, base=base, verify=False, iters=1,
+                isolation="process", platform="cpu", workers=3, timeout_s=300)
+    assert [r.status for r in res] == ["ok", "ok", "ok"]
+    assert [r.config.block_m for r in res] == [16, 32, 16]

@@ -46,11 +46,11 @@ def main():
     if on_tpu:
         size = 8192
         candidates = [
-            dict(block_m=512, block_n=1024, block_k=1024),
-            dict(block_m=2048, block_n=1024, block_k=512),
-            dict(block_m=512, block_n=1024, block_k=4096),
             dict(block_m=512, block_n=1024, block_k=8192),
-            dict(block_m=1024, block_n=1024, block_k=4096),
+            dict(block_m=1024, block_n=512, block_k=8192),
+            dict(block_m=512, block_n=1024, block_k=4096),
+            dict(block_m=2048, block_n=1024, block_k=512),
+            dict(block_m=512, block_n=1024, block_k=1024),
         ]
         iters, verify_size = 10, 1024
     else:  # CPU smoke mode so the script stays runnable anywhere
@@ -149,16 +149,28 @@ def main():
                           "error": "all configurations failed"}))
         return 1
 
-    best_gf = sane("winner",
-                   jax.jit(lambda x, y, c=best_cfg: matmul(x, y, config=c)),
-                   (a16, b16), best_gf)
+    # Winner protocol: interleaved median-of-3 against XLA's dot — paired
+    # back-to-back samples cancel relay/clock drift, medians reject
+    # hiccups, and the published value is a median (not a max).
+    win_fn = jax.jit(lambda x, y, c=best_cfg: matmul(x, y, config=c))
+    xla_fn = jax.jit(lambda x, y: jnp.dot(x, y))
+    p_samples, x_samples = [], []
+    for r in range(3):
+        gp = bench_one(f"winner median round {r}", win_fn, (a16, b16))
+        gx = bench_one(f"xla jnp.dot bf16 round {r}", xla_fn, (a16, b16))
+        if gp:
+            p_samples.append(gp)
+        if gx:
+            x_samples.append(gx)
+    if p_samples:
+        best_gf = sorted(p_samples)[len(p_samples) // 2]
+    xla_gf = sorted(x_samples)[len(x_samples) // 2] if x_samples else None
+    best_gf = sane("winner", win_fn, (a16, b16), best_gf)
     # If retries never produced a physically possible reading, publish it
     # flagged rather than as a (bogus) record.
     unreliable = best_gf > peak
-
-    # ---- comparisons + secondary metrics ----------------------------------
-    xla_gf = bench_one("xla jnp.dot bf16",
-                       jax.jit(lambda x, y: jnp.dot(x, y)), (a16, b16))
+    log(f"bf16 winner (median of {len(p_samples)}): {best_gf:.0f} vs xla "
+        f"{xla_gf or 0:.0f} -> ratio {best_gf / xla_gf if xla_gf else 0:.4f}")
 
     a32, b32 = gen(6, jnp.float32)
     # fp32 modes, from most to least accurate.  Each is verified at 1024^3

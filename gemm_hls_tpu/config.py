@@ -89,8 +89,9 @@ class GemmConfig:
         *absolute* magnitude of the accumulation, so cancellation-heavy
         data can exceed 1e-3 element-wise — opt in for well-conditioned
         workloads.  "i8x2"/"i8x3" run the integer-slice scheme on the int8
-        engine (``ops/int8_slices.py``): ~2^-14 normwise at ~95 TF /
-        ~2^-21 at ~51 TF on v5e — both with exact int32 accumulation.
+        engine (``ops/int8_slices.py``): ~2^-14 normwise at ~97 TF /
+        ~2^-21 at ~53 TF on v5e — both with exact int32 accumulation
+        (normwise-bounded error, unlike "default").
       interpret: force Pallas interpreter mode (None = auto: interpret
         off-TPU). The analogue of hlslib's software dataflow simulation —
         the *same kernel code* runs on CPU (reference ``test/TestSimulation.cpp``).

@@ -43,6 +43,13 @@ class ChipSpec:
     ici_links: int = 0
     clock_hz: float = 940e6
     tdp_watts: float = 0.0        # chip TDP, for GOp/J estimates
+    # Per-grid-step scheduling/latch overhead of the Mosaic pipeline —
+    # the device-specific constant of the refined runtime model (the
+    # reference's analogue is the clock frequency fed to
+    # PrintSpecifications).  Calibrated on v5e against
+    # artifacts/sweep_v5e_bf16_4096_r2.csv (220 ns brings all 12 configs
+    # within +-14%); other generations inherit the value uncalibrated.
+    grid_step_overhead_s: float = 2.2e-7
 
     def peak_for(self, dtype) -> float:
         d = str(jnp.dtype(dtype))
@@ -73,12 +80,18 @@ _register(ChipSpec(
     peak_flops={"bfloat16": 197e12, "float32": 197e12 / 4, "int8": 394e12},
     hbm_bandwidth=819e9,
     vmem_bytes=128 * 1024 * 1024,
-    # Measured map+reduce throughput ceiling on this part (min_plus sweep,
-    # docs/BENCHMARKS.md); the naive 4-port estimate (3.85e12) undershoots.
-    vpu_ops=4.4e12,
+    # Derived (not self-measured) VPU bound: 4 ALU ports x (8 sublanes x
+    # 128 lanes) x clock.  The clock itself is derived from the published
+    # MXU peak: 197e12 bf16 FLOP/s / (4 MXUs * 128*128 MACs * 2) =
+    # 1.503 GHz, giving 4*8*128*1.503e9 = 6.16e12 elementwise ops/s.
+    # A (map, reduce) semiring costs 2 VPU ops per contraction triple, so
+    # the model's GOp/s ceiling (counting 2*M*N*K "ops" like the MXU path)
+    # equals vpu_ops.  Measured min_plus sustains ~4.3e12 (~70% of this
+    # bound; docs/BENCHMARKS.md discusses the gap).
+    vpu_ops=4 * 8 * 128 * 1.503e9,
     ici_bandwidth=186e9 / 4,       # 4 links
     ici_links=4,
-    clock_hz=940e6,
+    clock_hz=1.503e9,
 ))
 
 _register(ChipSpec(
@@ -170,8 +183,18 @@ def specifications(cfg: GemmConfig, m: int, n: int, k: int,
 
     t_compute = flops / peak
     t_memory = io_bytes / chip.hbm_bandwidth
-    t_expected = max(t_compute, t_memory)
     gm, gn, gk = cfg.grid(m, n, k)
+    # Non-overlapped terms beyond the pure roofline — the analogue of the
+    # reference's C-writeback drain model (PrintSpecifications.cpp:45-50):
+    # the pipeline prologue (first A/B block fill, paid before the MXU can
+    # start), the final C-tile drain, and a per-grid-step scheduling latch.
+    in_b = jnp.dtype(cfg.dtype).itemsize
+    out_b = jnp.dtype(cfg.jout_dtype).itemsize
+    t_prologue = ((cfg.block_m * cfg.block_k + cfg.block_k * cfg.block_n)
+                  * in_b / chip.hbm_bandwidth)
+    t_drain = cfg.block_m * cfg.block_n * out_b / chip.hbm_bandwidth
+    t_steps = gm * gn * gk * chip.grid_step_overhead_s
+    t_expected = max(t_compute, t_memory) + t_prologue + t_drain + t_steps
 
     total_elems = m * k + k * n + m * n
     return {
@@ -186,6 +209,9 @@ def specifications(cfg: GemmConfig, m: int, n: int, k: int,
         "peak_flops": peak,
         "ideal_runtime_s": t_compute,                   # PrintSpecifications:51-54
         "expected_runtime_s": t_expected,               # :45-50 analogue
+        "prologue_s": t_prologue,
+        "drain_s": t_drain,
+        "step_overhead_s": t_steps,
         "expected_gflops": flops / t_expected / 1e9,
         "percent_of_peak": 100.0 * t_compute / t_expected,  # :57-60
         "io_volume_words": cfg.io_volume_words(m, n, k),    # :72-75
@@ -209,8 +235,11 @@ def format_specifications(spec: dict) -> str:
         f"Total ops: {spec['flops']:.4g}  (2*M*N*K)",
         f"Peak performance: {spec['peak_flops'] / 1e9:.1f} GOp/s",
         f"Ideal runtime: {spec['ideal_runtime_s'] * 1e3:.3f} ms",
-        f"Expected runtime (roofline): {spec['expected_runtime_s'] * 1e3:.3f} ms"
-        f"  [{spec['bound']}-bound]",
+        f"Expected runtime (roofline + overheads): "
+        f"{spec['expected_runtime_s'] * 1e3:.3f} ms  [{spec['bound']}-bound]",
+        f"  non-overlapped: prologue {spec['prologue_s'] * 1e6:.1f} us, "
+        f"drain {spec['drain_s'] * 1e6:.1f} us, "
+        f"grid-step latch {spec['step_overhead_s'] * 1e6:.1f} us",
         f"Expected performance: {spec['expected_gflops']:.1f} GOp/s"
         f" ({spec['percent_of_peak']:.1f}% of peak)",
         f"Communication volume: {spec['io_volume_words']:.4g} words"

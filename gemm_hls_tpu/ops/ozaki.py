@@ -199,9 +199,59 @@ def _int8_accumulate(sa, sb, *, n_slices: int):
     return hi, lo
 
 
+def f64_to_f32pair(x: np.ndarray):
+    """Exact-ish double-single representation: x ~= hi + lo with hi = f32(x)
+    and lo = f32(x - hi) — carries ~48 of f64's 53 mantissa bits (the tail
+    beyond bit 48 is lost, matching the float-float accumulator's ~2^-49
+    floor).  Two vectorized numpy ops instead of the 8-iteration host split."""
+    x = np.asarray(x, np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi).astype(np.float32)
+    return hi, lo
+
+
+def _two_sum_f32(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+@functools.partial(jax.jit, static_argnames=("n_slices", "axis"))
+def device_split_int8(hi, lo, *, n_slices: int, axis: int):
+    """Device-side :func:`split_f64_int8`: extract the int8 slices from the
+    (hi, lo) f32 pair with double-single arithmetic — no f64 on the TPU
+    (the chip has none), no 8-pass host loop.
+
+    Returns (slices int8 (n, *shape), ulp f32 per contraction vector).
+    Exact to the ~48 bits the f32 pair carries; combined with the
+    float-float accumulator the end-to-end scheme sits at ~2^-45 normwise
+    (vs ~2^-49 for the host-split path).
+    """
+    amax = jnp.max(jnp.abs(hi), axis=axis, keepdims=True)
+    safe = jnp.where(amax > 0, amax, 1.0)
+    e = jnp.floor(jnp.log2(safe)) + 1.0
+    ulp = jnp.exp2(e - INT8_SLICE_BITS).astype(jnp.float32)
+    # Scaled double-single value v = r_h + r_l in (-2^7, 2^7); divisions by
+    # the power-of-two ulp are exact.
+    r_h = hi / ulp
+    r_l = lo / ulp
+    scale = jnp.float32(2.0 ** INT8_SLICE_BITS)
+    slices = []
+    for _ in range(n_slices):
+        q = jnp.clip(jnp.trunc(r_h), -127, 127)
+        slices.append(q.astype(jnp.int8))
+        r_h = r_h - q                      # exact (integer on r_h's grid)
+        r_h, r_l = _two_sum_f32(r_h, r_l)  # renormalize: pull lo bits up
+        r_h = r_h * scale                  # exact (power of two)
+        r_l = r_l * scale
+    return jnp.stack(slices), ulp
+
+
 def ozaki_matmul_int8(a: np.ndarray, b: np.ndarray, *,
                       target_rel: float = 1e-14,
-                      n_slices: int = None, fused: bool = True) -> np.ndarray:
+                      n_slices: int = None, fused: bool = True,
+                      split: str = "auto") -> np.ndarray:
     """f64-class GEMM on the *int8* MXU path — ~4x the bf16-slice rate.
 
     7-bit integer slices with exact int32 accumulation need only 8 slices
@@ -213,6 +263,12 @@ def ozaki_matmul_int8(a: np.ndarray, b: np.ndarray, *,
     flushes error-free into float-float (hi, lo) per block.  The staged
     path (``fused=False``) accumulates int32 across all of K, so it keeps
     the K <= 2^17 exactness bound.
+
+    ``split``: "host" runs the 8-pass f64 slice loop in numpy (~2^-49
+    end-to-end, dominated by host time for large operands); "device" ships
+    each operand as an exact (hi, lo) f32 pair and extracts the slices
+    on-chip (:func:`device_split_int8`, ~2^-45, host cost two vectorized
+    ops); "auto" picks device on TPU, host elsewhere.
     """
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
@@ -226,8 +282,24 @@ def ozaki_matmul_int8(a: np.ndarray, b: np.ndarray, *,
     if n_slices is None:
         need_bits = min(53, int(-math.log2(target_rel)) + 6)
         n_slices = math.ceil(need_bits / INT8_SLICE_BITS)
-    sa, ulp_a = split_f64_int8(a, n_slices, axis=1)
-    sb, ulp_b = split_f64_int8(b, n_slices, axis=0)
+    if split == "auto":
+        split = "device" if jax.default_backend() == "tpu" else "host"
+    if split == "device":
+        ha, la = f64_to_f32pair(a)
+        hb, lb = f64_to_f32pair(b)
+        sa, ulp_a_d = device_split_int8(jnp.asarray(ha), jnp.asarray(la),
+                                        n_slices=n_slices, axis=1)
+        sb, ulp_b_d = device_split_int8(jnp.asarray(hb), jnp.asarray(lb),
+                                        n_slices=n_slices, axis=0)
+        # ulps are exact powers of two; f32 -> f64 is lossless.
+        ulp_a = np.asarray(ulp_a_d, np.float64)
+        ulp_b = np.asarray(ulp_b_d, np.float64)
+    elif split == "host":
+        sa_h, ulp_a = split_f64_int8(a, n_slices, axis=1)
+        sb_h, ulp_b = split_f64_int8(b, n_slices, axis=0)
+        sa, sb = jnp.asarray(sa_h), jnp.asarray(sb_h)
+    else:
+        raise ValueError(f"split must be 'auto'|'device'|'host', got {split!r}")
     if fused:
         # Single Pallas kernel: the whole slice triangle accumulated in
         # VMEM (ops/pallas_ozaki.py) — no intermediate HBM traffic.
@@ -241,21 +313,18 @@ def ozaki_matmul_int8(a: np.ndarray, b: np.ndarray, *,
         bn = min(512, round_up(n, 128))
         bk = min(2048, round_up(k, 256))
         mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
-        sa_p = np.zeros((n_slices, mp, kp), np.int8)
-        sa_p[:, :m, :k] = sa
-        sb_p = np.zeros((n_slices, kp, np_), np.int8)
-        sb_p[:, :k, :n] = sb
+        sa_p = jnp.pad(sa, ((0, 0), (0, mp - m), (0, kp - k)))
+        sb_p = jnp.pad(sb, ((0, 0), (0, kp - k), (0, np_ - n)))
         # n_diags = n_slices: diagonal d = n_slices contributes at
         # 2^(-7*n_slices) ~ 2^-56, below the float-float accumulator's
         # ~2^-49 floor — truncating it is measured accuracy-neutral
         # (1.07e-15 either way) and drops 7 of 43 products.
-        hi, lo = fused_ozaki_int8(jnp.asarray(sa_p), jnp.asarray(sb_p),
+        hi, lo = fused_ozaki_int8(sa_p, sb_p,
                                   block_m=bm, block_n=bn, block_k=bk,
                                   n_diags=n_slices)
         hi, lo = hi[:m, :n], lo[:m, :n]
     else:
-        hi, lo = _int8_accumulate(jnp.asarray(sa), jnp.asarray(sb),
-                                  n_slices=n_slices)
+        hi, lo = _int8_accumulate(sa, sb, n_slices=n_slices)
     return ((np.asarray(hi, np.float64) + np.asarray(lo, np.float64))
             * ulp_a * ulp_b)
 

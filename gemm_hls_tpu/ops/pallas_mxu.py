@@ -68,6 +68,27 @@ def _kernel(a_ref, b_ref, *refs, n_k_grid, dims, precision,
     """
     *ep_refs, o_ref, acc_ref = refs
 
+    def emit(acc):
+        if epilogue is not None:
+            acc = epilogue(acc, *(r[:] for r in ep_refs))
+        o_ref[:] = acc.astype(out_dtype)
+        if debug:
+            # Per-tile progress (reference kernel/Memory.cpp:384-389);
+            # payload kept free of program_id so it lowers in both compiled
+            # and interpreter modes.
+            pl.debug_print(
+                "ca_gemm_mxu: output tile written (k_steps={})",
+                jnp.full((), n_k_grid, jnp.int32))
+
+    if n_k_grid == 1:
+        # Whole K in one block: the accumulator carries nothing across
+        # steps, so skip the VMEM scratch round trip and store straight
+        # from the MXU result (measured worth ~0.5% at 8192^3).
+        emit(jax.lax.dot_general(
+            a_ref[:], b_ref[:], dimension_numbers=(dims, ((), ())),
+            preferred_element_type=acc_ref.dtype, precision=precision))
+        return
+
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -82,17 +103,7 @@ def _kernel(a_ref, b_ref, *refs, n_k_grid, dims, precision,
 
     @pl.when(pl.program_id(2) == n_k_grid - 1)
     def _store():
-        acc = acc_ref[:]
-        if epilogue is not None:
-            acc = epilogue(acc, *(r[:] for r in ep_refs))
-        o_ref[:] = acc.astype(out_dtype)
-        if debug:
-            # Per-tile progress (reference kernel/Memory.cpp:384-389);
-            # payload kept free of program_id so it lowers in both compiled
-            # and interpreter modes.
-            pl.debug_print(
-                "ca_gemm_mxu: output tile written (k_steps={})",
-                jnp.full((), n_k_grid, jnp.int32))
+        emit(acc_ref[:])
 
 
 @functools.partial(

@@ -1,5 +1,7 @@
-"""Examples stay runnable (gated: RUN_EXAMPLES=1 to include — they re-run
-full pipelines and add ~2 min)."""
+"""Examples run in CI by default (CPU-sized, interpreter mode) — they are
+the de-facto integration tests of the public API, like the reference's
+always-on ctest (``CMakeLists.txt:150-163``).  They execute in their own
+subprocesses, so this file adds wall time (~2 min) but no state."""
 
 import os
 import subprocess
@@ -10,10 +12,6 @@ import pytest
 
 ROOT = Path(__file__).resolve().parent.parent
 EXAMPLES = sorted((ROOT / "examples").glob("0*.py"))
-
-pytestmark = pytest.mark.skipif(
-    os.environ.get("RUN_EXAMPLES") != "1",
-    reason="set RUN_EXAMPLES=1 to run the examples end-to-end")
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=lambda p: p.name)

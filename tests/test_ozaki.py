@@ -172,3 +172,40 @@ def test_int8_distributed_awkward_k():
     normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
                                  * np.linalg.norm(b, axis=0)[None, :])
     assert normw.max() < 1e-6, f"normwise {normw.max():.2e}"
+
+
+def test_device_split_reconstructs():
+    """device_split_int8 (double-single f32 arithmetic) must reconstruct
+    the f64 input to the ~48 bits the (hi, lo) f32 pair carries."""
+    import jax.numpy as jnp
+    from gemm_hls_tpu.ops.ozaki import (
+        INT8_SLICE_BITS, device_split_int8, f64_to_f32pair,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1e3, 1e3, (24, 40))
+    hi, lo = f64_to_f32pair(x)
+    assert np.max(np.abs((hi.astype(np.float64) + lo) - x)
+                  / np.abs(x)) < 2.0 ** -46
+    slices, ulp = device_split_int8(jnp.asarray(hi), jnp.asarray(lo),
+                                    n_slices=8, axis=1)
+    recon = np.zeros_like(x)
+    for i in range(8):
+        recon += (np.asarray(slices[i], np.float64)
+                  * 2.0 ** (-INT8_SLICE_BITS * i))
+    recon *= np.asarray(ulp, np.float64)
+    rowmax = np.max(np.abs(x), axis=1, keepdims=True)
+    assert np.max(np.abs(recon - x) / rowmax) < 2.0 ** -44
+
+
+def test_int8_device_split_end_to_end():
+    from gemm_hls_tpu.ops.ozaki import ozaki_matmul_int8
+
+    rng = np.random.default_rng(11)
+    a = rng.uniform(-5, 5, (48, 100))
+    b = rng.uniform(-5, 5, (100, 72))
+    exp = a @ b
+    na = (np.linalg.norm(a, axis=1)[:, None]
+          * np.linalg.norm(b, axis=0)[None, :])
+    got = ozaki_matmul_int8(a, b, split="device")
+    assert np.max(np.abs(got - exp) / na) < 1e-12

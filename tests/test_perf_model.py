@@ -29,7 +29,9 @@ def test_specifications_compute_bound():
     cfg = GemmConfig(dtype="bfloat16", block_m=512, block_n=512, block_k=512)
     spec = specifications(cfg, 8192, 8192, 8192, chip=get_chip("v5e"))
     assert spec["bound"] == "compute"
-    assert spec["percent_of_peak"] == pytest.approx(100.0)
+    # The refined model keeps non-overlapped overheads (prologue, drain,
+    # grid-step latch), so even a compute-bound config sits below 100%.
+    assert 80.0 < spec["percent_of_peak"] < 100.0
     assert spec["flops"] == 2 * 8192 ** 3
     # Ideal runtime = flops / peak.
     assert spec["ideal_runtime_s"] == pytest.approx(2 * 8192 ** 3 / 197e12)
@@ -66,3 +68,34 @@ def test_format_specifications_smoke():
                                                 chip=get_chip("v5e")))
     assert "Peak performance" in text
     assert "Communication volume" in text
+
+
+def test_refined_model_matches_measured_sweep():
+    """VERDICT r1 #6: the refined runtime model (roofline + prologue +
+    drain + grid-step latch) must predict real v5e measurements within
+    +-15% across the committed bf16 4096^3 sweep artifact (captured with
+    the slope-timing protocol)."""
+    import csv
+    from pathlib import Path
+
+    from gemm_hls_tpu.config import GemmConfig
+    from gemm_hls_tpu.models.perf_model import get_chip, specifications
+
+    path = (Path(__file__).resolve().parent.parent / "artifacts"
+            / "sweep_v5e_bf16_4096_r2.csv")
+    chip = get_chip("v5e")
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) >= 10
+    for r in rows:
+        assert r["status"] == "ok"
+        cfg = GemmConfig(dtype="bfloat16",
+                         block_m=int(r["block_m"]),
+                         block_n=int(r["block_n"]),
+                         block_k=int(r["block_k"]))
+        spec = specifications(cfg, 4096, 4096, 4096, chip=chip)
+        measured = float(r["seconds"])
+        resid = (spec["expected_runtime_s"] - measured) / measured
+        assert abs(resid) < 0.15, (
+            f"blocks ({r['block_m']},{r['block_n']},{r['block_k']}): "
+            f"model {spec['expected_runtime_s']*1e3:.3f} ms vs measured "
+            f"{measured*1e3:.3f} ms ({resid*100:+.1f}%)")

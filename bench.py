@@ -276,7 +276,7 @@ def main():
         amp = a32[:mp_size, :mp_size]
         bmp = b32[:mp_size, :mp_size]
         cfg_mp = GemmConfig(dtype="float32", semiring="min_plus",
-                            block_m=32, block_n=2048, block_k=512,
+                            block_m=16, block_n=2048, block_k=2048,
                             vmem_limit_bytes=128 * 1024 * 1024)
         t_mp = None
         try:

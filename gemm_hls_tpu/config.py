@@ -259,10 +259,11 @@ def default_config(dtype="float32", **kw) -> GemmConfig:
     cache values (``CMakeLists.txt:7-36``) scaled to VMEM instead of BRAM."""
     d = jnp.dtype(dtype)
     if kw.get("semiring", "plus_times") != "plus_times":
-        # VPU path: lane-wide tiles win (3.75 TOp/s at (32..64, 2048) vs
-        # 0.9 at (256, 256) on v5e); the (block_m, chunk, block_n) mapped
-        # intermediate bounds block_m.
-        base = dict(block_m=64, block_n=2048, block_k=512,
+        # VPU path: lane-wide tiles + the widest K-chunk that fits VMEM win
+        # (4.59 TOp/s at (16, 2048, 2048)/ck=512 vs 0.9 at (256, 256) on
+        # v5e); the (block_m, chunk, block_n) mapped intermediate bounds
+        # block_m * chunk.
+        base = dict(block_m=16, block_n=2048, block_k=2048,
                     vmem_limit_bytes=128 * 1024 * 1024)
     elif d.itemsize <= 2 and jnp.issubdtype(d, jnp.floating):
         # bf16/fp16: big MXU-friendly tiles

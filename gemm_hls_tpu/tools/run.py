@@ -34,6 +34,14 @@ def main(argv=None):
     p.add_argument("--power", action="store_true",
                    help="estimate W and GOp/J from the chip TDP model")
     p.add_argument("--backend", choices=["pallas", "xla"], default=None)
+    p.add_argument("--precision",
+                   choices=["default", "high", "highest", "i8x2", "i8x3"],
+                   default=None,
+                   help="fp32 accuracy/speed tier: highest = full fp32 "
+                        "(~2.6e-7); i8x2/i8x3 = integer-slice scheme on the "
+                        "int8 engine (3.4e-4 at ~97 TF / 3.7e-6 at ~53 TF "
+                        "on v5e); default = Mosaic 2-pass (~5e-4, "
+                        "magnitude-scaled error)")
     p.add_argument("--block-m", type=int, default=None)
     p.add_argument("--block-n", type=int, default=None)
     p.add_argument("--block-k", type=int, default=None)
@@ -85,6 +93,8 @@ def main(argv=None):
             overrides[name] = getattr(args, name)
     if args.out_dtype:
         overrides["out_dtype"] = args.out_dtype
+    if args.precision:
+        overrides["precision"] = args.precision
     if overrides:
         cfg = cfg.replace(**overrides)
     chip = detect_chip()

@@ -438,7 +438,7 @@ def main(argv=None):
         defaults = dict(block_m=[512, 1024], block_n=[512, 1024],
                         block_k=[1024, 4096])
     else:  # VPU path wants lane-wide tiles
-        defaults = dict(block_m=[32, 64, 128], block_n=[1024, 2048],
+        defaults = dict(block_m=[16, 32, 64], block_n=[1024, 2048],
                         block_k=[512])
     grid = expand_grid(block_m=args.block_m or defaults["block_m"],
                        block_n=args.block_n or defaults["block_n"],

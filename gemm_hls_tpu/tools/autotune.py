@@ -60,12 +60,15 @@ def candidate_configs(m: int, n: int, k: int, dtype: str, semiring: str,
     """Feasible, problem-clamped candidates (seeded by measured winners)."""
     sr = get_semiring(semiring)
     if sr.is_mxu:
-        raw = [(512, 1024, 1024), (512, 1024, 4096), (2048, 1024, 512),
-               (512, 512, 1024), (512, 512, 2048), (1024, 1024, 1024)]
+        # Seeded by measured v5e winners: full-K-stream blocks lead at big
+        # shapes (docs/BENCHMARKS.md "Tuning observations").
+        raw = [(512, 1024, 8192), (1024, 512, 8192), (512, 1024, 4096),
+               (512, 1024, 1024), (512, 512, 2048), (1024, 1024, 1024)]
         vmem = 110 * 1024 * 1024
     else:
-        raw = [(64, 2048, 512), (32, 2048, 512), (128, 1024, 512),
-               (64, 1024, 512), (128, 512, 512), (16, 2048, 512)]
+        # Wide K-chunks win on the VPU (the kernel auto-picks ck).
+        raw = [(16, 2048, 2048), (32, 2048, 1024), (32, 2048, 512),
+               (64, 2048, 512), (16, 2048, 512), (64, 1024, 512)]
         vmem = 128 * 1024 * 1024
     out = []
     for bm, bn, bk in raw:

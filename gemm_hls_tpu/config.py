@@ -262,9 +262,10 @@ def default_config(dtype="float32", **kw) -> GemmConfig:
         # VPU path: lane-wide tiles + the widest K-chunk that fits VMEM win
         # (4.59 TOp/s at (16, 2048, 2048)/ck=512 vs 0.9 at (256, 256) on
         # v5e); the (block_m, chunk, block_n) mapped intermediate bounds
-        # block_m * chunk.
-        base = dict(block_m=16, block_n=2048, block_k=2048,
-                    vmem_limit_bytes=128 * 1024 * 1024)
+        # block_m * chunk.  block_m must still satisfy the dtype's sublane
+        # tiling (32 for 1-byte dtypes, 16 for 2-byte).
+        base = dict(block_m=max(16, sublane(str(d))), block_n=2048,
+                    block_k=2048, vmem_limit_bytes=128 * 1024 * 1024)
     elif d.itemsize <= 2 and jnp.issubdtype(d, jnp.floating):
         # bf16/fp16: big MXU-friendly tiles
         base = dict(block_m=512, block_n=1024, block_k=1024)

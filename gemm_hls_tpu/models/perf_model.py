@@ -194,7 +194,10 @@ def specifications(cfg: GemmConfig, m: int, n: int, k: int,
                   * in_b / chip.hbm_bandwidth)
     t_drain = cfg.block_m * cfg.block_n * out_b / chip.hbm_bandwidth
     t_steps = gm * gn * gk * chip.grid_step_overhead_s
-    t_expected = max(t_compute, t_memory) + t_prologue + t_drain + t_steps
+    # Prologue/drain extend the COMPUTE leg only (their bytes are already
+    # part of io_bytes, so adding them to a memory-bound estimate would
+    # double-count that traffic).
+    t_expected = max(t_compute + t_prologue + t_drain, t_memory) + t_steps
 
     total_elems = m * k + k * n + m * n
     return {

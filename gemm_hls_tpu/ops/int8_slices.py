@@ -137,16 +137,21 @@ def _fp32_matmul_int8_impl(a, b, *, block_m: int = 512, block_n: int = 1024,
             fused_int8_fp32, fused_ozaki_int8,
         )
 
-        whole_k_exact = n_slices * (127 ** 2) * k < (1 << 31)
+        # Fast path: per-diagonal int32 accumulators across the whole K
+        # — no per-block float flush at all (see _diag_kernel).
+        # bk=2048 measured fastest on v5e (53.4/96.7 TF for x3/x2 at
+        # 8192^3; 4096 loses ~4% to double-buffer pressure).
+        # The exactness gate uses the PADDED K the kernel will see (zero
+        # padding contributes no products but the kernel re-validates on
+        # its input shape).
+        bk_fast = min(block_k, 2048, round_up(k, 256))
+        kp_fast = round_up(k, bk_fast)
+        whole_k_exact = n_slices * (127 ** 2) * kp_fast < (1 << 31)
         if whole_k_exact:
-            # Fast path: per-diagonal int32 accumulators across the whole K
-            # — no per-block float flush at all (see _diag_kernel).
-            # bk=2048 measured fastest on v5e (53.4/96.7 TF for x3/x2 at
-            # 8192^3; 4096 loses ~4% to double-buffer pressure).
             bm = min(block_m, round_up(m, 32))
             bn = min(block_n, round_up(n, 128))
-            bk = min(block_k, 2048, round_up(k, 256))
-            mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
+            bk = bk_fast
+            mp, np_, kp = round_up(m, bm), round_up(n, bn), kp_fast
             sa_p = jnp.pad(sa, ((0, 0), (0, mp - m), (0, kp - k)))
             sb_p = jnp.pad(sb, ((0, 0), (0, kp - k), (0, np_ - n)))
             out = fused_int8_fp32(sa_p, sb_p, block_m=bm, block_n=bn,

@@ -210,13 +210,6 @@ def f64_to_f32pair(x: np.ndarray):
     return hi, lo
 
 
-def _two_sum_f32(a, b):
-    s = a + b
-    bb = s - a
-    err = (a - (s - bb)) + (b - bb)
-    return s, err
-
-
 @functools.partial(jax.jit, static_argnames=("n_slices", "axis"))
 def device_split_int8(hi, lo, *, n_slices: int, axis: int):
     """Device-side :func:`split_f64_int8`: extract the int8 slices from the
@@ -242,7 +235,7 @@ def device_split_int8(hi, lo, *, n_slices: int, axis: int):
         q = jnp.clip(jnp.trunc(r_h), -127, 127)
         slices.append(q.astype(jnp.int8))
         r_h = r_h - q                      # exact (integer on r_h's grid)
-        r_h, r_l = _two_sum_f32(r_h, r_l)  # renormalize: pull lo bits up
+        r_h, r_l = _two_sum(r_h, r_l)      # renormalize: pull lo bits up
         r_h = r_h * scale                  # exact (power of two)
         r_l = r_l * scale
     return jnp.stack(slices), ulp

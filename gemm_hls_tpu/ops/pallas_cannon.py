@@ -77,15 +77,6 @@ def _cannon_kernel(a_ref, b_ref, o_ref, comm_a, comm_b, a_vmem, b_vmem, acc,
         cp_b.start()
         cp_a.wait()
         cp_b.wait()
-        if s <= p - 3 and use_barrier:
-            # Backpressure acks: comm_[ab][cur] are free once staged into
-            # VMEM.  A arrives from the right neighbor, B from below; each
-            # consumes one ack before its send from step 1 on, so a fast
-            # sender cannot overwrite a buffer a slower peer still reads.
-            pltpu.semaphore_signal(ack_a, inc=1, device_id=right,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
-            pltpu.semaphore_signal(ack_b, inc=1, device_id=down,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
         if s + 1 < p:
             if s >= 1 and use_barrier:
                 pltpu.semaphore_wait(ack_a, 1)
@@ -107,6 +98,19 @@ def _cannon_kernel(a_ref, b_ref, o_ref, comm_a, comm_b, a_vmem, b_vmem, acc,
         if s + 1 < p:
             ra.wait()
             rb.wait()
+        if s <= p - 3 and use_barrier:
+            # Backpressure acks: comm_[ab][cur] are free only after BOTH
+            # the staging copy into VMEM and our own outbound shift from
+            # them (ra/rb.wait above) complete — the ack releases the
+            # upstream peer's next send into exactly these buffers, so an
+            # earlier signal would let a fast sender overwrite a buffer
+            # still being relayed.  A arrives from the right neighbor, B
+            # from below; each consumes one ack before its send from step
+            # 1 on.
+            pltpu.semaphore_signal(ack_a, inc=1, device_id=right,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(ack_b, inc=1, device_id=down,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
 
     cp_o = pltpu.make_async_copy(acc, o_ref.at[0], out_sem)
     cp_o.start()

@@ -125,8 +125,8 @@ def fused_int8_fp32(sa, sb, *, block_m: int = 512, block_n: int = 1024,
 
     The fast path for ``fp32_matmul_int8``: per-diagonal int32 accumulators
     across the whole K (exact), one f32 combine at the end.  Requires
-    ``n_slices * 127^2 * K < 2^31`` (K <= 2^17 for 3 slices); beyond that,
-    use :func:`fused_ozaki_int8` (per-block flush, K unbounded).
+    ``n_slices * 127^2 * K < 2^31`` — K <= 44380 for 3 slices, 66576 for 2;
+    beyond that, use :func:`fused_ozaki_int8` (per-block flush, K unbounded).
     """
     n_slices, m, k = sa.shape
     n = sb.shape[2]

@@ -97,14 +97,20 @@ def _ring_kernel(a_ref, b_ref, o_ref, a_vmem, b_buf, o_vmem,
         o_vmem[:, pl.ds(src_dev * nl, nl)] = jnp.dot(
             a_vmem[:], b_buf[cur], preferred_element_type=o_vmem.dtype,
             precision=precision)
-        if s <= n_dev - 3 and use_barrier:
-            # Tell the left neighbor we are done reading b_buf[cur]; it
-            # consumes one ack before each send from step 1 on (signal
-            # count = wait count = n_dev - 2, so the semaphore drains).
-            pltpu.semaphore_signal(ack_sem, inc=1, device_id=left,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
         if s + 1 < n_dev:
             rdma.wait()
+        if s <= n_dev - 3 and use_barrier:
+            # Tell the left neighbor we are done with b_buf[cur] — both the
+            # compute read AND our own outbound send from it (the ack must
+            # follow rdma.wait(): the left neighbor's released send targets
+            # exactly this buffer, and signaling mid-send would let it be
+            # overwritten while still in flight).  Each send from step 1 on
+            # consumes one ack (signal count = wait count = n_dev - 2, so
+            # the semaphore drains).  No deadlock: our wait at step s
+            # depends only on the left neighbor's step-s send, never on
+            # our own ack.
+            pltpu.semaphore_signal(ack_sem, inc=1, device_id=left,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
 
     cp_o = pltpu.make_async_copy(o_vmem, o_ref, copy_sem)
     cp_o.start()
@@ -183,11 +189,6 @@ def _ring_kernel_tiled(a_ref, b_ref, o_ref, comm_ref, a_tile, b_tile, acc,
             return ()
 
         jax.lax.fori_loop(0, n_k, k_body, ())
-        if s <= n_dev - 3 and use_barrier:
-            # All K tiles of comm_ref[cur] have been staged and consumed;
-            # release the left neighbor's next send into this buffer.
-            pltpu.semaphore_signal(ack_sem, inc=1, device_id=left,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
 
         src_dev = (my - s + n_dev) % n_dev
         out_tile[:] = acc[:].astype(out_tile.dtype)
@@ -198,6 +199,13 @@ def _ring_kernel_tiled(a_ref, b_ref, o_ref, comm_ref, a_tile, b_tile, acc,
 
         if s + 1 < n_dev:
             rdma.wait()
+        if s <= n_dev - 3 and use_barrier:
+            # Release the left neighbor's next send into comm_ref[cur] —
+            # only after both the K-loop reads AND our own outbound send
+            # from it (rdma.wait above) are done; an earlier ack would let
+            # the incoming write overwrite a buffer still being sent.
+            pltpu.semaphore_signal(ack_sem, inc=1, device_id=left,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
 
 
 def ring_matmul(a, b, mesh: Mesh, *, axis: str = "x",

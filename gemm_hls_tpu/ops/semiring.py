@@ -99,15 +99,24 @@ class Semiring:
 
     def absorbing_for(self, dtype):
         """The (pad_a, pad_b) K-padding pair cast to ``dtype`` (inf ->
-        integer extremes), or None when the semiring has no absorbing pair."""
+        integer extremes), or None when the semiring has no absorbing pair.
+
+        For integer dtypes with an *additive* map, infinite pads are cast
+        to half the integer extreme: ``map(pad, pad)`` then lands exactly
+        on the extreme (min_plus: 2*(max//2) = max-1; max_plus:
+        2*(min//2) = min) instead of wrapping around — a full-extreme pad
+        would overflow under addition and corrupt every padded column
+        (e.g. INT32_MAX + INT32_MAX = -2, which then wins the min)."""
         if self.absorbing is None:
             return None
         d = np.dtype(dtype)
+        additive_map = self.np_map is np.add
 
         def cast(v):
             if d.kind in "iu" and isinstance(v, float) and np.isinf(v):
                 info = np.iinfo(d)
-                return info.max if v > 0 else info.min
+                ext = info.max if v > 0 else info.min
+                return ext // 2 if additive_map else ext
             if d.kind == "b":
                 return bool(v)
             return np.asarray(v, d)[()]

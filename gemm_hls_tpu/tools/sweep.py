@@ -357,17 +357,32 @@ def sweep(grid: List[Dict], m: int, n: int, k: int, *, base: Optional[GemmConfig
     if isolation == "process" and workers > 1:
         # Window of concurrently running children, reaped in launch order
         # (keeps checkpoint append order deterministic enough to resume).
-        window = []  # (index, cfg, proc)
+        window = []  # (index, cfg, proc, retries_left)
+
+        def reap_front():
+            wi, wcfg, proc, tries = window.pop(0)
+            res = _reap_child(wcfg, proc, timeout_s)
+            if res.status == "timeout" and tries > 0:
+                # Same retry semantics as the sequential path: respawn a
+                # timed-out config until its retry budget is exhausted.
+                window.append((wi, wcfg,
+                               _spawn_child(wcfg, m, n, k, verify=verify,
+                                            iters=iters, backend=backend,
+                                            platform=platform,
+                                            setup_code=setup_code),
+                               tries - 1))
+                return
+            emit(wi, res)
+
         for i, cfg in pending:
             while len(window) >= workers:
-                wi, wcfg, proc = window.pop(0)
-                emit(wi, _reap_child(wcfg, proc, timeout_s))
+                reap_front()
             proc = _spawn_child(cfg, m, n, k, verify=verify,
                                 iters=iters, backend=backend,
                                 platform=platform, setup_code=setup_code)
-            window.append((i, cfg, proc))
-        for wi, wcfg, proc in window:
-            emit(wi, _reap_child(wcfg, proc, timeout_s))
+            window.append((i, cfg, proc, retries))
+        while window:
+            reap_front()
     else:
         for i, cfg in pending:
             emit(i, run_one(cfg, m, n, k, verify=verify, iters=iters,

@@ -72,3 +72,13 @@ def test_helpers():
 def test_hashable_for_jit_cache():
     assert hash(GemmConfig()) == hash(GemmConfig())
     assert GemmConfig() != GemmConfig(block_m=256)
+
+
+def test_vpu_defaults_respect_sublane_tiling():
+    """Self-review r2: the VPU default block_m must satisfy each dtype's
+    sublane constraint under strict (compiled-mode) validation."""
+    from gemm_hls_tpu.config import default_config
+
+    for dtype in ("float32", "bfloat16", "int8", "int32"):
+        cfg = default_config(dtype, semiring="min_plus")
+        cfg.validate(strict_alignment=True)

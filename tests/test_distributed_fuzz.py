@@ -62,3 +62,17 @@ def test_distributed_matmul_bf16_unaligned():
                              out_dtype="float32")
     ok, err = check_result(np.asarray(out), exp, rtol=2e-2)
     assert ok, f"bf16 unaligned: err {err:.3e}"
+
+
+def test_integer_semiring_unaligned_k_no_overflow():
+    """Self-review r2: integer min_plus/max_plus K-padding must not wrap
+    around (INT32_MAX + INT32_MAX = -2 would win every min)."""
+    mesh = make_mesh((2, 2))
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 50, (8, 9)).astype(np.int32)   # K=9: padded to 16
+    b = rng.integers(0, 50, (9, 8)).astype(np.int32)
+    for semiring in ("min_plus", "max_plus"):
+        exp = reference_matmul(a, b, semiring=semiring)
+        out = distributed_matmul(jnp.asarray(a), jnp.asarray(b), mesh,
+                                 semiring=semiring)
+        np.testing.assert_array_equal(np.asarray(out), exp)

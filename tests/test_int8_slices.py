@@ -105,3 +105,19 @@ def test_precision_i8_via_matmul_api():
     with pytest.raises(ValueError, match="i8x"):
         matmul(jnp.asarray(a), jnp.asarray(b).T, precision="i8x3",
                transpose_b=True)
+
+
+def test_fast_path_k_near_bound_falls_back():
+    """Self-review r2: K values where the unpadded K fits the whole-K int32
+    bound but the padded K does not must fall back to the hi/lo kernel
+    instead of crashing in fused_int8_fp32's own validation."""
+    rng = np.random.default_rng(5)
+    k = 44000  # 3*127^2*44000 < 2^31 but padded 45056 exceeds it
+    a = jnp.asarray(rng.uniform(-1, 1, (16, k)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (k, 128)).astype(np.float32))
+    got = np.asarray(fp32_matmul_int8(a, b, n_slices=3, block_m=16,
+                                      block_n=128, block_k=2048, fused=True))
+    exp = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
+                                 * np.linalg.norm(b, axis=0)[None, :])
+    assert normw.max() < 2e-6, f"normwise {normw.max():.2e}"

@@ -152,6 +152,14 @@ def mxu_matmul(a, b, *ep_operands, cfg: GemmConfig, transpose_a=False,
         )
 
     grid = (m // bm, n // bn, k_dim // bk)
+    two_d = grid[2] == 1
+    if two_d:
+        # Whole K in one block: drop the K grid dimension entirely — the
+        # kernel runs its scratch-free single-dot branch and Mosaic sees a
+        # pure 2-D output-tile sweep.
+        a_map3, b_map3 = a_index, b_index
+        a_index = lambda i, j, f=a_map3: f(i, j, 0)  # noqa: E731
+        b_index = lambda i, j, f=b_map3: f(i, j, 0)  # noqa: E731
     out_dtype = cfg.jout_dtype
     acc_dtype = cfg.jacc_dtype
 
@@ -174,7 +182,8 @@ def mxu_matmul(a, b, *ep_operands, cfg: GemmConfig, transpose_a=False,
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(("parallel", "parallel") if two_d else
+                                 ("parallel", "parallel", "arbitrary")),
             vmem_limit_bytes=cfg.vmem_limit_bytes,
         )
         kwargs["cost_estimate"] = pl.CostEstimate(
@@ -183,18 +192,24 @@ def mxu_matmul(a, b, *ep_operands, cfg: GemmConfig, transpose_a=False,
             transcendentals=0,
         )
 
+    if two_d:
+        ep_index = lambda i, j: (0, j)        # noqa: E731
+        out_index = lambda i, j: (i, j)       # noqa: E731
+    else:
+        ep_index = lambda i, j, k: (0, j)     # noqa: E731
+        out_index = lambda i, j, k: (i, j)    # noqa: E731
+
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=grid[:2] if two_d else grid,
         in_specs=[
             pl.BlockSpec(a_block, a_index, memory_space=pltpu.VMEM),
             pl.BlockSpec(b_block, b_index, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
-                         memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, bn), ep_index, memory_space=pltpu.VMEM)
             for _ in ep_operands
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), out_index,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],

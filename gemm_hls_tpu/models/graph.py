@@ -37,6 +37,17 @@ def distance_product(d1, d2, *, config: Optional[GemmConfig] = None,
     return matmul(d1, d2, semiring="min_plus", config=config)
 
 
+def _square_until_fixed(x, n: int, semiring: str, config, matmul_fn):
+    """Repeated semiring squaring: ceil(log2(n-1)) steps cover all simple
+    paths of an n-node graph (shared by APSP / closure / widest paths)."""
+    for _ in range(max(1, math.ceil(math.log2(max(n - 1, 2))))):
+        if matmul_fn is not None:
+            x = matmul_fn(x, x)
+        else:
+            x = matmul(x, x, semiring=semiring, config=config)
+    return x
+
+
 def all_pairs_shortest_paths(adj, *, config: Optional[GemmConfig] = None,
                              matmul_fn: Optional[Callable] = None):
     """APSP via repeated squaring in the tropical semiring.
@@ -48,9 +59,7 @@ def all_pairs_shortest_paths(adj, *, config: Optional[GemmConfig] = None,
     """
     n = adj.shape[0]
     d = jnp.where(jnp.eye(n, dtype=bool), jnp.zeros_like(adj), adj)
-    for _ in range(max(1, math.ceil(math.log2(max(n - 1, 2))))):
-        d = distance_product(d, d, config=config, matmul_fn=matmul_fn)
-    return d
+    return _square_until_fixed(d, n, "min_plus", config, matmul_fn)
 
 
 def transitive_closure(adj, *, config: Optional[GemmConfig] = None,
@@ -58,12 +67,7 @@ def transitive_closure(adj, *, config: Optional[GemmConfig] = None,
     """Boolean reachability closure via (or, and) repeated squaring."""
     n = adj.shape[0]
     r = jnp.logical_or(jnp.asarray(adj, bool), jnp.eye(n, dtype=bool))
-    for _ in range(max(1, math.ceil(math.log2(max(n - 1, 2))))):
-        if matmul_fn is not None:
-            r = matmul_fn(r, r)
-        else:
-            r = matmul(r, r, semiring="or_and", config=config)
-    return r
+    return _square_until_fixed(r, n, "or_and", config, matmul_fn)
 
 
 def pagerank(adj, *, damping: float = 0.85, iters: int = 50,
@@ -101,9 +105,4 @@ def widest_paths(cap, *, config: Optional[GemmConfig] = None,
     n = cap.shape[0]
     w = jnp.where(jnp.eye(n, dtype=bool),
                   jnp.full_like(cap, jnp.inf), cap)
-    for _ in range(max(1, math.ceil(math.log2(max(n - 1, 2))))):
-        if matmul_fn is not None:
-            w = matmul_fn(w, w)
-        else:
-            w = matmul(w, w, semiring="max_min", config=config)
-    return w
+    return _square_until_fixed(w, n, "max_min", config, matmul_fn)

@@ -97,10 +97,11 @@ def loss_fn(params: Params, batch, *, config: Optional[GemmConfig] = None):
     return jnp.mean((pred - y) ** 2)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "lr"))
+@functools.partial(jax.jit, static_argnames=("config",))
 def train_step(params: Params, batch, *, config: Optional[GemmConfig] = None,
-               lr: float = 1e-3):
-    """One SGD step; grads flow through the Pallas kernels' custom VJP."""
+               lr=1e-3):
+    """One SGD step; grads flow through the Pallas kernels' custom VJP.
+    ``lr`` is a dynamic scalar — LR schedules do not retrigger compilation."""
     loss, grads = jax.value_and_grad(loss_fn)(params, batch, config=config)
     new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
     return new_params, loss

@@ -54,10 +54,14 @@ def matmul_25d(a, b, mesh: Mesh, *, axes: Tuple[str, str, str] = ("z", "x", "y")
     py = mesh.shape[ay]
     m, k = a.shape
     n = b.shape[1]
-    if m % px or n % py or k % (c * px * py):
+    # A's K is split over (z, y) = c*py ways, B's over (z, x) = c*px; both
+    # shards must be integral (the joint c*px*py bound would reject valid
+    # shapes on rectangular meshes).
+    if m % px or n % py or k % (c * px) or k % (c * py):
         raise ValueError(
             f"shape ({m},{n},{k}) not divisible by 2.5D mesh "
-            f"({c},{px},{py}); K must divide {c * px * py}"
+            f"({c},{px},{py}); K must be divisible by both "
+            f"c*px={c * px} and c*py={c * py}"
         )
     cfg = _local_config(config, a.dtype, m // px, n // py, k // c, sr.name)
     acc_dtype = cfg.jacc_dtype

@@ -87,8 +87,9 @@ def distributed_streamed_matmul(a: np.ndarray, b: np.ndarray, mesh, *,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from gemm_hls_tpu.config import round_up
+    from gemm_hls_tpu.parallel.dispatch import distributed_matmul
     from gemm_hls_tpu.parallel.grid25d import matmul_25d
-    from gemm_hls_tpu.parallel.summa import summa_matmul
 
     sr = get_semiring(semiring)
     m, k = a.shape
@@ -96,19 +97,47 @@ def distributed_streamed_matmul(a: np.ndarray, b: np.ndarray, mesh, *,
     if k != k2:
         raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
     out_dt = np.dtype(out_dtype) if out_dtype is not None else a.dtype
-    acc_np = None
+    # Cross-panel partials accumulate in the accumulator dtype (one bf16
+    # rounding per panel would otherwise breach the 1e-3 contract); the
+    # cast to out_dt happens once per C tile.
+    acc_dt = np.dtype(str((config or default_config(
+        str(a.dtype), semiring=sr.name)).jacc_dtype))
     out = np.empty((m, n), dtype=out_dt)
 
     if algorithm == "summa":
-        a_spec = P("x", "y")
-        b_spec = P("x", "y")
-        dist = lambda x, y: summa_matmul(x, y, mesh, semiring=sr,  # noqa: E731
-                                         config=config)
+        # distributed_matmul owns mesh-divisibility padding (ragged
+        # remainder tiles included) and result slicing.
+        def dist(ap, bp):
+            return np.asarray(distributed_matmul(
+                jnp.asarray(ap), jnp.asarray(bp), mesh, algorithm="summa",
+                semiring=sr, config=config, out_dtype=str(acc_dt)))
     elif algorithm == "25d":
-        a_spec = P("x", ("z", "y"))
-        b_spec = P(("z", "x"), "y")
-        dist = lambda x, y: matmul_25d(x, y, mesh, semiring=sr,  # noqa: E731
-                                       config=config)
+        cz = mesh.shape["z"]
+        px, py = mesh.shape["x"], mesh.shape["y"]
+        pads = sr.absorbing_for(a.dtype)
+
+        def dist(ap, bp):
+            import math
+
+            mp_, kp_ = ap.shape
+            np_ = bp.shape[1]
+            mpad = round_up(mp_, px)
+            npad = round_up(np_, py)
+            kpad = round_up(kp_, cz * px * py // math.gcd(px, py))
+            if kpad != kp_ and pads is None:
+                raise ValueError(
+                    f"panel K={kp_} is not divisible by the 2.5D mesh and "
+                    f"semiring {sr.name!r} has no absorbing pad pair")
+            pa, pb = pads if pads is not None else (0, 0)
+            ap2 = np.pad(ap, ((0, mpad - mp_), (0, kpad - kp_)),
+                         constant_values=pa)
+            bp2 = np.pad(bp, ((0, kpad - kp_), (0, npad - np_)),
+                         constant_values=pb)
+            a_s = jax.device_put(ap2, NamedSharding(mesh, P("x", ("z", "y"))))
+            b_s = jax.device_put(bp2, NamedSharding(mesh, P(("z", "x"), "y")))
+            res = matmul_25d(a_s, b_s, mesh, semiring=sr, config=config,
+                             out_dtype=str(acc_dt))
+            return np.asarray(res)[:mp_, :np_]
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
 
@@ -120,11 +149,7 @@ def distributed_streamed_matmul(a: np.ndarray, b: np.ndarray, mesh, *,
             acc_np = None
             for kk in range(kp):
                 k0, k1 = kk * tile_k, min(k, (kk + 1) * tile_k)
-                a_panel = jax.device_put(
-                    a[i0:i1, k0:k1], NamedSharding(mesh, a_spec))
-                b_panel = jax.device_put(
-                    b[k0:k1, j0:j1], NamedSharding(mesh, b_spec))
-                partial = np.asarray(dist(a_panel, b_panel))
+                partial = dist(a[i0:i1, k0:k1], b[k0:k1, j0:j1])
                 acc_np = partial if acc_np is None else np.asarray(
                     sr.np_reduce(acc_np, partial))
             out[i0:i1, j0:j1] = acc_np.astype(out_dt)
@@ -154,8 +179,7 @@ def streamed_matmul(a: np.ndarray, b: np.ndarray, *, semiring="plus_times",
         config = default_config(str(a.dtype), semiring=sr.name)
     acc_dtype = config.jacc_dtype
     cfg_acc = config.replace(out_dtype=str(acc_dtype))
-    out_dt = np.dtype(out_dtype) if out_dtype is not None else np.asarray(
-        np.zeros(0, a.dtype)).dtype
+    out_dt = np.dtype(out_dtype) if out_dtype is not None else a.dtype
     device = device or jax.devices()[0]
 
     ident = sr.identity_for(acc_dtype)

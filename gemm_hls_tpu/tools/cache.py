@@ -57,8 +57,11 @@ def package(archive_path: str, cache_dir_: Optional[str] = None) -> str:
     if not d.is_dir():
         raise FileNotFoundError(f"no compilation cache at {d}")
     with tarfile.open(archive_path, "w:gz") as tar:
+        # recursive=False: rglob already enumerates every path, and the
+        # default recursive add would store each file once per ancestor
+        # directory entry.
         for f in sorted(d.rglob("*")):
-            tar.add(f, arcname=str(f.relative_to(d)))
+            tar.add(f, arcname=str(f.relative_to(d)), recursive=False)
     return archive_path
 
 

@@ -40,7 +40,7 @@ def main(argv=None):
     from gemm_hls_tpu.utils.benchmark import gflops
 
     m, n, k = args.m, args.n, args.k
-    d = np.dtype(args.dtype) if args.dtype != "bfloat16" else np.dtype("bfloat16")
+    d = np.dtype(args.dtype)
     sr = get_semiring(args.semiring)
 
     bytes_total = (m * k + k * n + m * n) * d.itemsize

@@ -43,7 +43,8 @@ def profile_matmul(m: int, n: int, k: int, *, dtype="float32",
     from gemm_hls_tpu.models.perf_model import detect_chip, specifications
     from gemm_hls_tpu.ops.matmul import matmul
     from gemm_hls_tpu.ops.semiring import get_semiring
-    from gemm_hls_tpu.utils.benchmark import gflops, time_fn
+    from gemm_hls_tpu.utils.benchmark import (gflops, percent_of_peak,
+                                              time_fn)
     from gemm_hls_tpu.utils.verify import make_operands
 
     sr = get_semiring(semiring)
@@ -67,7 +68,7 @@ def profile_matmul(m: int, n: int, k: int, *, dtype="float32",
         "expected_seconds": spec["expected_runtime_s"],
         "expected_gflops": spec["expected_gflops"],
         "percent_of_expected": 100.0 * spec["expected_runtime_s"] / secs,
-        "percent_of_peak": 100.0 * gf * 1e9 / spec["peak_flops"],
+        "percent_of_peak": percent_of_peak(gf, spec["peak_flops"]),
         "bound": spec["bound"],
         "trace_dir": logdir,
         "chip": chip.name,

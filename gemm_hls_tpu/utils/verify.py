@@ -74,19 +74,21 @@ def reference_matmul(a: np.ndarray, b: np.ndarray, semiring="plus_times", *,
         wide = np.int64
     else:
         wide = np.bool_
-    a_w, b_w = a_l.astype(wide), b_l.astype(wide)
-    m, k = a_w.shape
-    n = b_w.shape[1]
-
     if sr.is_mxu:
-        return a_w @ b_w  # cblas_dgemm analogue
+        return a_l.astype(wide) @ b_l.astype(wide)  # cblas_dgemm analogue
 
     # Native C++ oracle when available (the CallBLAS-style fast path for
-    # generic semirings); numpy blocked sweep otherwise.
+    # generic semirings); numpy blocked sweep otherwise.  It does its own
+    # wide conversion, so the host-side float64 copies are only
+    # materialized on the numpy fallback path.
     from gemm_hls_tpu.utils.native import native_reference_matmul
     native = native_reference_matmul(a_l, b_l, sr.name)
     if native is not None:
         return native
+
+    a_w, b_w = a_l.astype(wide), b_l.astype(wide)
+    m, k = a_w.shape
+    n = b_w.shape[1]
 
     # Naive semiring sweep, blocked over rows to bound the (rows, K, N)
     # intermediate.

@@ -162,3 +162,33 @@ def test_streamed_ozaki_f64_class():
     normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
                                  * np.linalg.norm(b, axis=0)[None, :])
     assert normw.max() < 1e-13, f"normwise {normw.max():.2e}"
+
+
+def test_distributed_streamed_bf16_accumulates_wide():
+    """Self-review r2: cross-K-panel partials must accumulate in the acc
+    dtype (f32), not bf16 — one bf16 rounding per panel breaches 1e-3."""
+    from gemm_hls_tpu.parallel import distributed_streamed_matmul
+
+    mesh = make_mesh((2, 4))
+    m, n, k = 16, 32, 512
+    a, b = make_operands(m, n, k, "bfloat16")
+    out = distributed_streamed_matmul(a, b, mesh, tile_m=16, tile_n=32,
+                                      tile_k=64, out_dtype="float32",
+                                      config=small_cfg())
+    exp = a.astype(np.float64) @ b.astype(np.float64)
+    rel = np.abs(np.asarray(out, np.float64) - exp) / np.abs(exp)
+    assert rel.max() < 1e-3, f"cross-panel accumulation err {rel.max():.2e}"
+
+
+def test_distributed_streamed_ragged_tiles():
+    """Self-review r2: remainder host tiles that are not mesh-divisible
+    must be padded, not crash mid-scan."""
+    from gemm_hls_tpu.parallel import distributed_streamed_matmul
+
+    mesh = make_mesh((2, 4))
+    m, n, k = 17, 19, 23
+    a, b = make_operands(m, n, k, "float32")
+    out = distributed_streamed_matmul(a, b, mesh, tile_m=16, tile_n=16,
+                                      tile_k=16, config=small_cfg())
+    verify_matmul(np.asarray(out), a.astype(np.float64) @ b,
+                  what="ragged streamed")

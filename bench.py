@@ -191,6 +191,8 @@ def main():
     # benchmark (RunHardware reports the verified kernel's rate).
     f32_modes = {
         "highest": jax.jit(lambda x, y: matmul(x, y, config=cfg_f32)),
+        "i8x4": jax.jit(lambda x, y: matmul(
+            x, y, config=cfg_f32.replace(precision="i8x4"))),
         "i8x3": jax.jit(lambda x, y: matmul(
             x, y, config=cfg_f32.replace(precision="i8x3"))),
         "i8x2": jax.jit(lambda x, y: matmul(
@@ -263,14 +265,24 @@ def main():
             log(f"ozaki bench FAILED: {e}")
 
         # fp32-class GEMM on the int8 MXU path (integer slices).  Pass-count
-        # ceilings: 3 exact products for i8x2, 6 for i8x3.
-        for ns, passes in (("i8x2", 3), ("i8x3", 6)):
+        # ceilings: 3 exact products for i8x2, 6 for i8x3, 10 for i8x4
+        # (which reaches the f32 output rounding floor, ~3.9e-8).
+        for ns, passes in (("i8x2", 3), ("i8x3", 6), ("i8x4", 10)):
             f32_rate[ns] = sane(
                 f"fp32 via int8 slices ({ns})", f32_modes[ns], (a32, b32),
                 bench_one(f"fp32 via int8 slices ({ns})", f32_modes[ns],
                           (a32, b32)),
                 ceiling=chip.peak_for("int8") / 1e9 / passes)
         i8x2_gf, i8x3_gf = f32_rate.get("i8x2"), f32_rate.get("i8x3")
+        i8x4_gf = f32_rate.get("i8x4")
+
+        # int8 platform-parity baseline: XLA's own int8->int32 dot.
+        xla_i8_fn = jax.jit(lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32))
+        xla_int8_gf = sane("xla int8 dot", xla_i8_fn, (ai, bi),
+                           bench_one("xla int8 dot", xla_i8_fn, (ai, bi)),
+                           ceiling=chip.peak_for("int8") / 1e9)
 
         mp_size = 4096
         amp = a32[:mp_size, :mp_size]
@@ -289,7 +301,7 @@ def main():
             log(f"min_plus bench FAILED: {e}")
     else:
         int8_gf, t_mp, oz_gf = None, None, None
-        i8x2_gf = i8x3_gf = None
+        i8x2_gf = i8x3_gf = i8x4_gf = xla_int8_gf = None
 
     # Headline fp32: fastest mode passing the reference's 1e-3 contract.
     passing = {name: r for name, r in f32_rate.items()
@@ -319,7 +331,9 @@ def main():
         "fp32_gflops_fast": round(f32_fast_gf, 1) if f32_fast_gf else None,
         "fp32_gflops_i8x2": round(i8x2_gf, 1) if i8x2_gf else None,
         "fp32_gflops_i8x3": round(i8x3_gf, 1) if i8x3_gf else None,
+        "fp32_gflops_i8x4": round(i8x4_gf, 1) if i8x4_gf else None,
         "int8_gops": round(int8_gf, 1) if int8_gf else None,
+        "xla_int8_gops": round(xla_int8_gf, 1) if xla_int8_gf else None,
         "min_plus_4096_vpu_gops": round(
             gflops(4096, 4096, 4096, t_mp), 1) if t_mp else None,
         "f64_ozaki_2048_gflops": round(oz_gf, 1) if oz_gf else None,

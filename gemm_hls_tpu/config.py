@@ -88,10 +88,13 @@ class GemmConfig:
         with ~5e-4 typical relative error, but the error scales with the
         *absolute* magnitude of the accumulation, so cancellation-heavy
         data can exceed 1e-3 element-wise — opt in for well-conditioned
-        workloads.  "i8x2"/"i8x3" run the integer-slice scheme on the int8
-        engine (``ops/int8_slices.py``): ~2^-14 normwise at ~97 TF /
-        ~2^-21 at ~53 TF on v5e — both with exact int32 accumulation
-        (normwise-bounded error, unlike "default").
+        workloads.  "i8x2"/"i8x3"/"i8x4" run the integer-slice scheme on
+        the int8 engine (``ops/int8_slices.py``): ~2^-14 normwise at
+        ~97 TF / ~2^-21 at ~53 TF / ~2^-24.6 at ~30 TF on v5e — all with
+        exact int32 accumulation (normwise-bounded error, unlike
+        "default").  "i8x4" reaches the f32 *output* rounding floor
+        (measured 3.9e-8; more slices change nothing), i.e. strictly
+        tighter error than "highest" at ~0.95x its speed.
       interpret: force Pallas interpreter mode (None = auto: interpret
         off-TPU). The analogue of hlslib's software dataflow simulation —
         the *same kernel code* runs on CPU (reference ``test/TestSimulation.cpp``).
@@ -155,10 +158,10 @@ class GemmConfig:
         if self.pad_policy not in ("pad", "strict"):
             raise ValueError(f"pad_policy must be 'pad' or 'strict', got {self.pad_policy!r}")
         if self.precision not in ("default", "high", "highest",
-                                  "i8x2", "i8x3"):
+                                  "i8x2", "i8x3", "i8x4"):
             raise ValueError(
                 f"precision must be one of 'default', 'high', 'highest', "
-                f"'i8x2', 'i8x3', got {self.precision!r}")
+                f"'i8x2', 'i8x3', 'i8x4', got {self.precision!r}")
         for name in ("block_m", "block_n", "block_k"):
             v = getattr(self, name)
             if not (isinstance(v, int) and v > 0):

@@ -364,7 +364,7 @@ def matmul(
         return _xla_matmul(a, b, config, sr)
     if backend != "pallas":
         raise ValueError(f"unknown backend {backend!r}")
-    if sr.is_mxu and config.precision in ("i8x2", "i8x3"):
+    if sr.is_mxu and config.precision in ("i8x2", "i8x3", "i8x4"):
         if (config.transpose_a or config.transpose_b
                 or np.dtype(config.dtype) != np.float32):
             raise ValueError("precision='i8x*' requires float32 operands "

@@ -35,13 +35,15 @@ def main(argv=None):
                    help="estimate W and GOp/J from the chip TDP model")
     p.add_argument("--backend", choices=["pallas", "xla"], default=None)
     p.add_argument("--precision",
-                   choices=["default", "high", "highest", "i8x2", "i8x3"],
+                   choices=["default", "high", "highest",
+                            "i8x2", "i8x3", "i8x4"],
                    default=None,
                    help="fp32 accuracy/speed tier: highest = full fp32 "
-                        "(~2.6e-7); i8x2/i8x3 = integer-slice scheme on the "
-                        "int8 engine (3.4e-4 at ~97 TF / 3.7e-6 at ~53 TF "
-                        "on v5e); default = Mosaic 2-pass (~5e-4, "
-                        "magnitude-scaled error)")
+                        "(~2.6e-7); i8x2/i8x3/i8x4 = integer-slice scheme "
+                        "on the int8 engine (3.4e-4 at ~97 TF / 3.7e-6 at "
+                        "~53 TF / 3.9e-8 at ~30 TF on v5e — i8x4 is at the "
+                        "f32 output floor, tighter than highest); default "
+                        "= Mosaic 2-pass (~5e-4, magnitude-scaled error)")
     p.add_argument("--block-m", type=int, default=None)
     p.add_argument("--block-n", type=int, default=None)
     p.add_argument("--block-k", type=int, default=None)

@@ -121,3 +121,21 @@ def test_fast_path_k_near_bound_falls_back():
     normw = np.abs(got - exp) / (np.linalg.norm(a, axis=1)[:, None]
                                  * np.linalg.norm(b, axis=0)[None, :])
     assert normw.max() < 2e-6, f"normwise {normw.max():.2e}"
+
+
+def test_i8x4_reaches_f32_output_floor():
+    """4 slices (10 truncated-triangle products) reach the f32 *output*
+    rounding floor: normwise error well under i8x3's ~2^-21 and under the
+    fp32-HIGHEST contract (~2^-22)."""
+    from gemm_hls_tpu import matmul
+    rng = np.random.default_rng(11)
+    m, n, k = 48, 128, 160
+    a = jnp.asarray(rng.uniform(1, 10, (m, k)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(1, 10, (k, n)).astype(np.float32))
+    exp = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    errs = {}
+    for mode in ("i8x3", "i8x4"):
+        got = np.asarray(matmul(a, b, precision=mode), np.float64)
+        errs[mode] = np.linalg.norm(got - exp) / np.linalg.norm(exp)
+    assert errs["i8x4"] < errs["i8x3"] / 4, errs
+    assert errs["i8x4"] < 2 ** -22, errs

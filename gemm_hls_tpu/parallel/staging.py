@@ -15,6 +15,8 @@ I/O volume follows the same CA formula at this level:
 
 from __future__ import annotations
 
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
@@ -26,13 +28,46 @@ from gemm_hls_tpu.ops.matmul import matmul
 from gemm_hls_tpu.ops.semiring import get_semiring
 
 
+def _prefetched(jobs, stage, *, depth: int = 2, enabled: bool = True):
+    """Yield ``(job, stage(job))`` with up to ``depth`` stages in flight.
+
+    The staging callable (host-DRAM slice / disk tile read + async
+    ``device_put``) runs on a worker thread while the consumer's device
+    compute is in flight — the host-level analogue of the PE's A
+    double-buffer (``kernel/Compute.cpp:19-26``): buffer s+1 fills while
+    buffer s drains.  ``depth=2`` = classic double buffering (one panel
+    computing, one staging).  JAX dispatch is thread-safe; transfers are
+    async, so the worker only pays the host-side slice/pin cost.
+    """
+    jobs = list(jobs)
+    if not enabled or len(jobs) <= 1:
+        for job in jobs:
+            yield job, stage(job)
+        return
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        inflight = deque()
+        for job in jobs[:depth]:
+            inflight.append((job, pool.submit(stage, job)))
+        next_i = depth
+        while inflight:
+            job, fut = inflight.popleft()
+            yield job, fut.result()
+            if next_i < len(jobs):
+                inflight.append((jobs[next_i], pool.submit(stage,
+                                                           jobs[next_i])))
+                next_i += 1
+
+
 def streamed_matmul_files(a_file, b_file, c_file, *, semiring="plus_times",
                           config: Optional[GemmConfig] = None,
                           tile_m: int = 8192, tile_n: int = 8192,
-                          tile_k: int = 8192, device=None) -> None:
+                          tile_k: int = 8192, device=None,
+                          prefetch: bool = True) -> None:
     """Disk-resident GEMM: operands and result live in files
     (``utils.tileio.MatrixFile``), streamed disk -> DRAM -> HBM per tile —
     the reference's DDR->BRAM outer-tile loop re-based two levels up.
+    With ``prefetch`` (default) the next panel's disk read + host->HBM
+    transfer overlaps the current panel's device compute (double-buffered).
 
     Args:
       a_file: MatrixFile (M, K); b_file: MatrixFile (K, N);
@@ -52,20 +87,28 @@ def streamed_matmul_files(a_file, b_file, c_file, *, semiring="plus_times",
     ident = sr.identity_for(acc_dtype)
 
     kp = cdiv(k, tile_k)
-    for i0 in range(0, m, tile_m):
-        i1 = min(m, i0 + tile_m)
-        for j0 in range(0, n, tile_n):
-            j1 = min(n, j0 + tile_n)
+    jobs = [(i0, j0, kk)
+            for i0 in range(0, m, tile_m)
+            for j0 in range(0, n, tile_n)
+            for kk in range(kp)]
+
+    def stage(job):
+        i0, j0, kk = job
+        i1, j1 = min(m, i0 + tile_m), min(n, j0 + tile_n)
+        k0, k1 = kk * tile_k, min(k, (kk + 1) * tile_k)
+        return (jax.device_put(a_file.read_tile(i0, i1, k0, k1), device),
+                jax.device_put(b_file.read_tile(k0, k1, j0, j1), device))
+
+    acc = None
+    for (i0, j0, kk), (a_panel, b_panel) in _prefetched(
+            jobs, stage, enabled=prefetch):
+        i1, j1 = min(m, i0 + tile_m), min(n, j0 + tile_n)
+        if kk == 0:
             acc = jax.device_put(jnp.full((i1 - i0, j1 - j0), ident,
                                           acc_dtype), device)
-            for kk in range(kp):
-                k0, k1 = kk * tile_k, min(k, (kk + 1) * tile_k)
-                a_panel = jax.device_put(a_file.read_tile(i0, i1, k0, k1),
-                                         device)
-                b_panel = jax.device_put(b_file.read_tile(k0, k1, j0, j1),
-                                         device)
-                acc = sr.reduce_op(acc, matmul(a_panel, b_panel, semiring=sr,
-                                               config=cfg_acc))
+        acc = sr.reduce_op(acc, matmul(a_panel, b_panel, semiring=sr,
+                                       config=cfg_acc))
+        if kk == kp - 1:
             c_file.write_tile(i0, j0, np.asarray(
                 acc.astype(jnp.dtype(str(c_file.dtype)))))
 
@@ -160,7 +203,7 @@ def streamed_matmul(a: np.ndarray, b: np.ndarray, *, semiring="plus_times",
                     config: Optional[GemmConfig] = None,
                     tile_m: int = 8192, tile_n: int = 8192,
                     tile_k: int = 8192, out_dtype=None,
-                    device=None) -> np.ndarray:
+                    device=None, prefetch: bool = True) -> np.ndarray:
     """C = A . B for problems larger than HBM; A, B, C live in host DRAM.
 
     Args:
@@ -169,6 +212,8 @@ def streamed_matmul(a: np.ndarray, b: np.ndarray, *, semiring="plus_times",
       tile_m/tile_n/tile_k: host-tile sizes — the outer "memory tile" at the
         HBM level (each (tile_m, tile_n) C tile stays resident on device
         while K streams in tile_k panels).
+      prefetch: overlap the next panel's host slice + host->HBM transfer
+        with the current panel's compute (double-buffered staging).
     """
     sr = get_semiring(semiring)
     m, k = a.shape
@@ -186,22 +231,33 @@ def streamed_matmul(a: np.ndarray, b: np.ndarray, *, semiring="plus_times",
     out = np.empty((m, n), dtype=out_dt)
 
     kp = cdiv(k, tile_k)
-    for i0 in range(0, m, tile_m):
-        i1 = min(m, i0 + tile_m)
-        for j0 in range(0, n, tile_n):
-            j1 = min(n, j0 + tile_n)
-            acc = jnp.full((i1 - i0, j1 - j0), ident, acc_dtype)
-            acc = jax.device_put(acc, device)
-            for kk in range(kp):
-                k0, k1 = kk * tile_k, min(k, (kk + 1) * tile_k)
-                # Async host->HBM staging; dispatch overlaps with the
-                # previous panel's compute.
-                a_panel = jax.device_put(a[i0:i1, k0:k1], device)
-                b_panel = jax.device_put(b[k0:k1, j0:j1], device)
-                partial = matmul(a_panel, b_panel, semiring=sr, config=cfg_acc)
-                acc = sr.reduce_op(acc, partial)
-            out[i0:i1, j0:j1] = np.asarray(acc.astype(jnp.dtype(str(out_dt)))
-                                           if out_dt != acc.dtype else acc)
+    jobs = [(i0, j0, kk)
+            for i0 in range(0, m, tile_m)
+            for j0 in range(0, n, tile_n)
+            for kk in range(kp)]
+
+    def stage(job):
+        # Host slice (the expensive contiguous copy) + async host->HBM
+        # transfer, off the compute thread.
+        i0, j0, kk = job
+        i1, j1 = min(m, i0 + tile_m), min(n, j0 + tile_n)
+        k0, k1 = kk * tile_k, min(k, (kk + 1) * tile_k)
+        return (jax.device_put(np.ascontiguousarray(a[i0:i1, k0:k1]), device),
+                jax.device_put(np.ascontiguousarray(b[k0:k1, j0:j1]), device))
+
+    acc = None
+    for (i0, j0, kk), (a_panel, b_panel) in _prefetched(
+            jobs, stage, enabled=prefetch):
+        i1, j1 = min(m, i0 + tile_m), min(n, j0 + tile_n)
+        if kk == 0:
+            acc = jax.device_put(jnp.full((i1 - i0, j1 - j0), ident,
+                                          acc_dtype), device)
+        partial = matmul(a_panel, b_panel, semiring=sr, config=cfg_acc)
+        acc = sr.reduce_op(acc, partial)
+        if kk == kp - 1:
+            out[i0:i1, j0:j1] = np.asarray(
+                acc.astype(jnp.dtype(str(out_dt)))
+                if out_dt != acc.dtype else acc)
     return out
 
 

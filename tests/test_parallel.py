@@ -121,6 +121,27 @@ def test_streamed_matmul_out_of_core():
     verify_matmul(out, exp)
 
 
+def test_streamed_matmul_prefetch_matches_sync():
+    # The double-buffered staging path must be bit-identical to the
+    # synchronous one (same panel order, same accumulation).
+    a, b = make_operands(80, 64, 96, "float32")
+    exp = streamed_matmul(a, b, tile_m=32, tile_n=32, tile_k=32,
+                          prefetch=False)
+    got = streamed_matmul(a, b, tile_m=32, tile_n=32, tile_k=32,
+                          prefetch=True)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_prefetched_helper_order_and_depth():
+    from gemm_hls_tpu.parallel.staging import _prefetched
+    calls = []
+    jobs = list(range(7))
+    got = [(j, v) for j, v in _prefetched(jobs, lambda j: calls.append(j)
+                                          or j * 10, depth=2)]
+    assert got == [(j, j * 10) for j in jobs]
+    assert calls == jobs  # staged in order, each exactly once
+
+
 def test_streamed_matmul_min_plus():
     a, b = make_operands(48, 40, 56, "float32")
     exp = reference_matmul(a, b, semiring="min_plus")

@@ -283,7 +283,17 @@ def matmul(
     if a.ndim != 2 or b.ndim != 2:
         raise ValueError(f"matmul expects 2-D or 3-D operands, got {a.shape}, {b.shape}")
     if config is None:
-        config = default_config(str(a.dtype), semiring=sr.name)
+        if not transpose_a and not transpose_b:
+            # Measured autotune winner for this (chip, dtype, semiring,
+            # shape bucket), if one is cached (user cache or the packaged
+            # seed) — never probes.
+            from gemm_hls_tpu.tools.autotune import cached_config
+
+            mm, kk = a.shape
+            config = cached_config(mm, b.shape[1], kk, dtype=str(a.dtype),
+                                   semiring=sr.name)
+        if config is None:
+            config = default_config(str(a.dtype), semiring=sr.name)
     overrides = {}
     if transpose_a is not None:
         overrides["transpose_a"] = transpose_a

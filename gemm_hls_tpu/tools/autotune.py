@@ -28,6 +28,15 @@ from gemm_hls_tpu.config import GemmConfig
 from gemm_hls_tpu.ops.semiring import get_semiring
 
 DEFAULT_CACHE = os.path.expanduser("~/.cache/gemm_hls_tpu/autotune.json")
+# Measured winners shipped with the package (per chip/dtype/semiring/shape
+# bucket) — consulted when the user cache misses, so `matmul(a, b)` with no
+# config picks measured blocks out of the box.
+SEED_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "data", "autotune_seed.json")
+
+# (path, mtime) -> parsed dict; cache lookups happen on every untuned
+# matmul dispatch (trace time), so avoid re-reading the JSON each call.
+_load_memo: dict = {}
 
 
 def _bucket(x: int) -> int:
@@ -53,6 +62,63 @@ def _store(path: str, data: dict):
     with open(tmp, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
     os.replace(tmp, path)
+    _load_memo.pop(path, None)
+
+
+def _load_memoized(path: str) -> dict:
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return {}
+    hit = _load_memo.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    data = _load(path)
+    _load_memo[path] = (mtime, data)
+    return data
+
+
+def _cfg_from_entry(e: dict, dtype: str, semiring: str) -> GemmConfig:
+    return GemmConfig(dtype=dtype, semiring=semiring,
+                      block_m=e["block_m"], block_n=e["block_n"],
+                      block_k=e["block_k"],
+                      vmem_limit_bytes=e.get("vmem_limit_bytes",
+                                             96 * 1024 * 1024))
+
+
+def cached_config(m: int, n: int, k: int, *, dtype: str,
+                  semiring: str = "plus_times",
+                  cache_path: Optional[str] = None) -> Optional[GemmConfig]:
+    """Cached autotune winner for this problem, or None — never measures.
+
+    Consults the user cache first, then the packaged per-chip seed of
+    measured winners (``gemm_hls_tpu/data/autotune_seed.json``).  This is
+    how autotune results feed :func:`gemm_hls_tpu.ops.matmul.matmul` when
+    the caller passes no config (the analogue of the reference operator
+    picking winners from ``build_manager.py`` benchmark CSVs).
+    """
+    from gemm_hls_tpu.models.perf_model import detect_chip
+
+    if cache_path is None:
+        cache_path = DEFAULT_CACHE
+    key = _key(detect_chip().name, dtype, semiring, m, n, k)
+    for path in (cache_path, SEED_CACHE):
+        e = _load_memoized(path).get(key)
+        if e is not None:
+            cfg = _cfg_from_entry(e, dtype, semiring)
+            try:
+                cfg.validate()
+            except ValueError:
+                continue
+            # Winners are keyed by power-of-two bucket; off-bucket shapes
+            # can pad pathologically under big blocks (e.g. K=4100 under
+            # bk=8192 doubles the work).  Only adopt the winner when its
+            # padding overhead is small; otherwise fall back to defaults.
+            mp, np_, kp = cfg.padded_shape(m, n, k)
+            if mp * np_ * kp > 1.3 * m * n * k:
+                continue
+            return cfg
+    return None
 
 
 def candidate_configs(m: int, n: int, k: int, dtype: str, semiring: str,
@@ -98,22 +164,42 @@ def autotune(m: int, n: int, k: int, *, dtype: str = "bfloat16",
     key = _key(chip.name, dtype, semiring, m, n, k)
     cache = _load(cache_path)
     if key in cache and not force:
-        e = cache[key]
-        return GemmConfig(dtype=dtype, semiring=semiring,
-                          block_m=e["block_m"], block_n=e["block_n"],
-                          block_k=e["block_k"],
-                          vmem_limit_bytes=e.get("vmem_limit_bytes",
-                                                 96 * 1024 * 1024))
+        return _cfg_from_entry(cache[key], dtype, semiring)
+
+    # Physical ceiling: a reading above the datasheet engine rate is a
+    # timing artifact (relay hiccup), not a record — re-measure, then
+    # discard (the bench.py `sane` protocol).
+    ceiling_gf = None
+    sr = get_semiring(semiring)
+    if sr.is_mxu:
+        try:
+            ceiling_gf = (chip.peak_for(dtype) / 1e9) or None
+        except (KeyError, ValueError):
+            ceiling_gf = None
 
     best, best_gf = None, -1.0
     for cfg in candidate_configs(m, n, k, dtype, semiring):
         res = run_one(cfg, m, n, k, verify=False, iters=iters)
+        gf = res.gflops if res.status == "ok" else None
+        retries = 2
+        while (gf and ceiling_gf and gf > ceiling_gf and retries):
+            if verbose:
+                print(f"  ({cfg.block_m},{cfg.block_n},{cfg.block_k}) "
+                      f"read {gf:.0f} GOp/s > {ceiling_gf:.0f} peak — "
+                      "re-measuring")
+            res = run_one(cfg, m, n, k, verify=False, iters=iters)
+            gf = res.gflops if res.status == "ok" else None
+            retries -= 1
+        if gf and ceiling_gf and gf > ceiling_gf:
+            if verbose:
+                print(f"  ({cfg.block_m},{cfg.block_n},{cfg.block_k}) -> "
+                      "discarded (reading above hardware peak)")
+            continue
         if verbose:
             print(f"  ({cfg.block_m},{cfg.block_n},{cfg.block_k}) -> "
-                  f"{res.status}"
-                  + (f" {res.gflops:.0f} GOp/s" if res.gflops else ""))
-        if res.status == "ok" and res.gflops and res.gflops > best_gf:
-            best, best_gf = cfg, res.gflops
+                  f"{res.status}" + (f" {gf:.0f} GOp/s" if gf else ""))
+        if gf and gf > best_gf:
+            best, best_gf = cfg, gf
     if best is None:
         raise RuntimeError(f"autotune: no feasible configuration for {key}")
 

@@ -40,3 +40,69 @@ def test_autotune_caches(tmp_path, monkeypatch):
     cfg2 = autotune(64, 128, 64, dtype="float32", cache_path=cache)
     assert (cfg2.block_m, cfg2.block_n, cfg2.block_k) == (
         cfg1.block_m, cfg1.block_n, cfg1.block_k)
+
+
+def test_cached_config_lookup_and_guards(tmp_path, monkeypatch):
+    """cached_config returns cached winners without measuring, skips
+    entries whose padding overhead would exceed 30%, and returns None on
+    a miss."""
+    import json
+
+    import gemm_hls_tpu.tools.autotune as at
+    from gemm_hls_tpu.models.perf_model import detect_chip
+
+    chip = detect_chip().name
+    cache = str(tmp_path / "cache.json")
+    entry = {"block_m": 16, "block_n": 128, "block_k": 1024,
+             "vmem_limit_bytes": 96 * 1024 * 1024}
+    with open(cache, "w") as f:
+        json.dump({f"{chip}/float32/plus_times/1024x1024x1024": entry}, f)
+
+    hit = at.cached_config(1024, 1024, 1024, dtype="float32",
+                           cache_path=cache)
+    assert hit is not None and (hit.block_m, hit.block_n, hit.block_k) == (
+        16, 128, 1024)
+    # K=600 buckets to 1024; bk=1024 pads it 1.7x -> entry rejected.
+    assert at.cached_config(1024, 1024, 600, dtype="float32",
+                            cache_path=cache) is None
+    # Unknown bucket -> miss (seed has no cpu entries for this shape).
+    assert at.cached_config(48, 48, 48, dtype="float32",
+                            cache_path=cache) is None
+
+
+def test_matmul_adopts_cached_winner(tmp_path, monkeypatch):
+    """matmul(config=None) picks the cached autotune winner's blocks."""
+    import json
+
+    import importlib
+
+    import numpy as np
+
+    # `gemm_hls_tpu.ops.matmul` the *module* (the package re-exports a
+    # same-named function, which `import ... as` would bind instead).
+    mm = importlib.import_module("gemm_hls_tpu.ops.matmul")
+    import gemm_hls_tpu.tools.autotune as at
+    from gemm_hls_tpu.models.perf_model import detect_chip
+    from gemm_hls_tpu.utils import make_operands, reference_matmul, \
+        verify_matmul
+
+    chip = detect_chip().name
+    cache = str(tmp_path / "cache.json")
+    with open(cache, "w") as f:
+        json.dump({f"{chip}/float32/plus_times/128x128x128":
+                   {"block_m": 64, "block_n": 128, "block_k": 128}}, f)
+    monkeypatch.setattr(at, "DEFAULT_CACHE", cache)
+
+    seen = {}
+    orig = mm._mxu_padded
+
+    def spy(a, b, config):
+        seen["blocks"] = (config.block_m, config.block_n, config.block_k)
+        return orig(a, b, config)
+
+    monkeypatch.setattr(mm, "_mxu_padded", spy)
+    import jax.numpy as jnp
+    a, b = make_operands(128, 128, 128, "float32")
+    out = mm.matmul(jnp.asarray(a), jnp.asarray(b))
+    verify_matmul(np.asarray(out), reference_matmul(a, b))
+    assert seen["blocks"] == (64, 128, 128)

@@ -90,7 +90,7 @@ class GemmConfig:
         data can exceed 1e-3 element-wise — opt in for well-conditioned
         workloads.  "i8x2"/"i8x3"/"i8x4" run the integer-slice scheme on
         the int8 engine (``ops/int8_slices.py``): ~2^-14 normwise at
-        ~97 TF / ~2^-21 at ~53 TF / ~2^-24.6 at ~30 TF on v5e — all with
+        ~100 TF / ~2^-21 at ~55 TF / ~2^-24.6 at ~30 TF on v5e — all with
         exact int32 accumulation (normwise-bounded error, unlike
         "default").  "i8x4" reaches the f32 *output* rounding floor
         (measured 3.9e-8; more slices change nothing), i.e. strictly

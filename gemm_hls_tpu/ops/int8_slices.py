@@ -34,8 +34,11 @@ import jax.numpy as jnp
 SLICE_BITS = 7
 
 
-def _quantize_slices(x, axis: int, n_slices: int = 3):
-    """(N_SLICES, *x.shape) int8 slices + per-vector ulp (f32).
+def _quantize_slices(x, axis: int, n_slices: int = 3, stacked: bool = True):
+    """int8 slices + per-vector ulp (f32): stacked (N_SLICES, *x.shape)
+    array, or a list of per-slice arrays with ``stacked=False`` (the list
+    form feeds the fused kernel without materializing the concatenate —
+    XLA lowers ``stack`` as pad+add, a full extra HBM round trip).
 
     Shared exponent along ``axis`` (the contraction axis), so every product
     in one output's dot shares the grid — the block-fixed-point property
@@ -54,7 +57,7 @@ def _quantize_slices(x, axis: int, n_slices: int = 3):
         slices.append(q.astype(jnp.int8))
         r = r - q * cur_ulp
         cur_ulp = cur_ulp * (2.0 ** -SLICE_BITS)
-    return jnp.stack(slices), ulp
+    return (jnp.stack(slices) if stacked else slices), ulp
 
 
 def _two_sum(a, b):
@@ -131,8 +134,12 @@ def _fp32_matmul_int8_impl(a, b, *, block_m: int = 512, block_n: int = 1024,
     if not fused and k > (1 << 17):
         raise ValueError(f"K={k} exceeds the int32 exactness bound (2^17) "
                          "of the staged path; use fused=True")
-    sa, ulp_a = _quantize_slices(a, axis=1, n_slices=n_slices)  # (m, 1)
-    sb, ulp_b = _quantize_slices(b, axis=0, n_slices=n_slices)  # (1, n)
+    # List form: each slice stays an independent array so the quantize
+    # fusion feeds the kernel directly (no materialized concatenate).
+    sa, ulp_a = _quantize_slices(a, axis=1, n_slices=n_slices,
+                                 stacked=False)  # ulp (m, 1)
+    sb, ulp_b = _quantize_slices(b, axis=0, n_slices=n_slices,
+                                 stacked=False)  # ulp (1, n)
 
     if fused:
         from gemm_hls_tpu.config import round_up
@@ -155,11 +162,17 @@ def _fp32_matmul_int8_impl(a, b, *, block_m: int = 512, block_n: int = 1024,
             bn = min(block_n, round_up(n, 128))
             bk = bk_fast
             mp, np_, kp = round_up(m, bm), round_up(n, bn), kp_fast
-            sa_p = jnp.pad(sa, ((0, 0), (0, mp - m), (0, kp - k)))
-            sb_p = jnp.pad(sb, ((0, 0), (0, kp - k), (0, np_ - n)))
-            out = fused_int8_fp32(sa_p, sb_p, block_m=bm, block_n=bn,
-                                  block_k=bk, n_diags=n_slices)
-            return out[:m, :n] * ulp_a * ulp_b
+            if (mp, kp) != (m, k):
+                sa = [jnp.pad(s, ((0, mp - m), (0, kp - k))) for s in sa]
+            if (kp, np_) != (k, n):
+                sb = [jnp.pad(s, ((0, kp - k), (0, np_ - n))) for s in sb]
+            # Row/column ulp rescale fused into the kernel store (saves a
+            # full HBM round trip of C); pad rows/cols are sliced away.
+            ua = jnp.pad(ulp_a, ((0, mp - m), (0, 0))) if mp != m else ulp_a
+            ub = jnp.pad(ulp_b, ((0, 0), (0, np_ - n))) if np_ != n else ulp_b
+            out = fused_int8_fp32(tuple(sa), tuple(sb), ua, ub, block_m=bm,
+                                  block_n=bn, block_k=bk, n_diags=n_slices)
+            return out[:m, :n]
 
         # K beyond the whole-K int32 bound: hi/lo kernel with exact
         # per-K-block flushes (K unbounded).  (512, 512, 4096) is the
@@ -171,8 +184,8 @@ def _fp32_matmul_int8_impl(a, b, *, block_m: int = 512, block_n: int = 1024,
         while n_slices * (127 ** 2) * bk >= (1 << 31):
             bk //= 2
         mp, np_, kp = round_up(m, bm), round_up(n, bn), round_up(k, bk)
-        sa_p = jnp.pad(sa, ((0, 0), (0, mp - m), (0, kp - k)))
-        sb_p = jnp.pad(sb, ((0, 0), (0, kp - k), (0, np_ - n)))
+        sa_p = jnp.pad(jnp.stack(sa), ((0, 0), (0, mp - m), (0, kp - k)))
+        sb_p = jnp.pad(jnp.stack(sb), ((0, 0), (0, kp - k), (0, np_ - n)))
         # n_diags=n_slices matches the staged triangle (3 products for
         # i8x2, 6 for i8x3) so both paths sit on the same speed tier.
         hi, lo = fused_ozaki_int8(sa_p, sb_p, block_m=bm, block_n=bn,

@@ -24,6 +24,8 @@ def main():
         ("gemm_hls_tpu.tools.print_specifications", "analytical roofline expectations"),
         ("gemm_hls_tpu.tools.profile", "measured vs roofline + XProf trace"),
         ("gemm_hls_tpu.tools.oversize", "out-of-HBM host-staged GEMM"),
+        ("gemm_hls_tpu.tools.autotune", "measure + cache the best blocks for a problem"),
+        ("gemm_hls_tpu.tools.selftest", "compiled hardware battery (14 checks vs oracle)"),
     ]:
         print(f"  python -m {mod:45s} {desc}")
     print()

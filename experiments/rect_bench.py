@@ -41,7 +41,17 @@ def main():
     append = os.environ.get("RECT_APPEND", "") == "1"
     chip = detect_chip()
     peak_gf = chip.peak_for("bfloat16") / 1e9
-    rows = []
+    out = f"artifacts/rect_shapes_{chip.name}.csv"
+    fields = ["label", "m", "n", "k", "pallas_gflops", "xla_gflops", "ratio"]
+    if not append:
+        with open(out, "w", newline="") as f:
+            csv.DictWriter(f, fieldnames=fields).writeheader()
+
+    def emit(row):
+        # Incremental append: a killed run keeps its finished rows.
+        with open(out, "a", newline="") as f:
+            csv.DictWriter(f, fieldnames=fields).writerow(row)
+
     for m, n, k, label in shapes:
         ka, kb = jax.random.split(jax.random.PRNGKey(5))
         a = jax.random.uniform(ka, (m, k), jnp.bfloat16, 1, 10)
@@ -57,33 +67,27 @@ def main():
             ps, xs = [], []
             for _ in range(3):
                 for fn, out_list in ((ours, ps), (xla, xs)):
-                    gf = flops / time_fn(fn, [(a, b)], iters=10) / 1e9
+                    gf = flops / time_fn(fn, [(a, b)], iters=6) / 1e9
                     if gf > peak_gf:
-                        gf = flops / time_fn(fn, [(a, b)], iters=10) / 1e9
+                        gf = flops / time_fn(fn, [(a, b)], iters=6) / 1e9
                     if gf <= peak_gf:
                         out_list.append(gf)
             if not ps or not xs:
                 raise RuntimeError("no sane readings")
             gf_p = sorted(ps)[len(ps) // 2]
             gf_x = sorted(xs)[len(xs) // 2]
-            rows.append(dict(label=label, m=m, n=n, k=k,
-                             pallas_gflops=round(gf_p, 1),
-                             xla_gflops=round(gf_x, 1),
-                             ratio=round(gf_p / gf_x, 3)))
+            emit(dict(label=label, m=m, n=n, k=k,
+                      pallas_gflops=round(gf_p, 1),
+                      xla_gflops=round(gf_x, 1),
+                      ratio=round(gf_p / gf_x, 3)))
             print(f"{label:36s} {m}x{n}x{k}: pallas {gf_p/1e3:7.1f} TF  "
                   f"xla {gf_x/1e3:7.1f} TF  ratio {gf_p/gf_x:.3f}",
                   flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"{label}: FAILED {type(e).__name__}: {str(e)[:120]}",
                   flush=True)
-            rows.append(dict(label=label, m=m, n=n, k=k, pallas_gflops=None,
-                             xla_gflops=None, ratio=None))
-    out = f"artifacts/rect_shapes_{chip.name}.csv"
-    with open(out, "a" if append else "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0]))
-        if not append:
-            w.writeheader()
-        w.writerows(rows)
+            emit(dict(label=label, m=m, n=n, k=k, pallas_gflops=None,
+                      xla_gflops=None, ratio=None))
     print("wrote", out)
 
 

@@ -68,17 +68,14 @@ def _mxu_padded(a, b, cfg: GemmConfig):
 
 
 def _mxu_padded_fwd_impl(a, b, cfg: GemmConfig):
-    interpret = _resolve_interpret(cfg)
-    ta, tb = cfg.transpose_a, cfg.transpose_b
-    m, k = (a.shape[1], a.shape[0]) if ta else a.shape
-    n = b.shape[0] if tb else b.shape[1]
-    mp, np_, kp = cfg.padded_shape(m, n, k)
-    a_p = _pad2(a, kp, mp) if ta else _pad2(a, mp, kp)
-    b_p = _pad2(b, np_, kp) if tb else _pad2(b, kp, np_)
-    out = pallas_mxu.mxu_matmul(
-        a_p, b_p, cfg=cfg, transpose_a=ta, transpose_b=tb, interpret=interpret
+    # No host-side pad/slice copies: the kernel ceil-divides the grid and
+    # masks the K tail in-register; Mosaic bounds-masks M/N edge stores.
+    # (Padding 8000^3 up to 8192^3 used to cost ~7% extra FLOPs plus
+    # ~500 MB of pad+slice HBM traffic — ~18% end to end.)
+    return pallas_mxu.mxu_matmul(
+        a, b, cfg=cfg, transpose_a=cfg.transpose_a,
+        transpose_b=cfg.transpose_b, interpret=_resolve_interpret(cfg)
     )
-    return out[:m, :n]
 
 
 def _mxu_fwd(a, b, cfg):
@@ -118,22 +115,17 @@ def _mxu_with_epilogue(a, b, cfg: GemmConfig, epilogue, ep_operands):
     """Forward-only MXU matmul with a fused output epilogue."""
     interpret = _resolve_interpret(cfg)
     ta, tb = cfg.transpose_a, cfg.transpose_b
-    m, k = (a.shape[1], a.shape[0]) if ta else a.shape
     n = b.shape[0] if tb else b.shape[1]
-    mp, np_, kp = cfg.padded_shape(m, n, k)
-    a_p = _pad2(a, kp, mp) if ta else _pad2(a, mp, kp)
-    b_p = _pad2(b, np_, kp) if tb else _pad2(b, kp, np_)
     eps = []
     for ep in ep_operands:
         if ep.ndim != 1 or ep.shape[0] != n:
             raise ValueError(f"epilogue operands must be (N,)=({n},), "
                              f"got {ep.shape}")
-        eps.append(jnp.pad(ep, (0, np_ - n)).reshape(1, np_))
-    out = pallas_mxu.mxu_matmul(
-        a_p, b_p, *eps, cfg=cfg, transpose_a=ta, transpose_b=tb,
+        eps.append(ep.reshape(1, n))
+    return pallas_mxu.mxu_matmul(
+        a, b, *eps, cfg=cfg, transpose_a=ta, transpose_b=tb,
         interpret=interpret, epilogue=epilogue,
     )
-    return out[:m, :n]
 
 
 # ---------------------------------------------------------------------------

@@ -52,13 +52,32 @@ def _resolve_precision(cfg: GemmConfig):
     return _PRECISION[cfg.precision]
 
 
+def _mask_k_tail(ref, axis, limit):
+    """Zero the K-tail of an operand block beyond ``limit``.
+
+    The analogue of the reference's dynamic-size bounds masking
+    (``kernel/Compute.cpp:112-137``): with a ceil-div grid the final K
+    block reads past the logical array edge, and Mosaic leaves those VMEM
+    lanes unspecified (possibly stale NaN/Inf bit patterns), so *both*
+    operands are masked — 0 * garbage would still poison the accumulator
+    if the garbage is NaN.
+    """
+    idx = jax.lax.broadcasted_iota(jnp.int32, ref.shape, axis)
+    return jnp.where(idx < limit, ref[:], jnp.zeros((), ref.dtype))
+
+
 def _kernel(a_ref, b_ref, *refs, n_k_grid, dims, precision,
-            out_dtype, epilogue=None, debug=False):
+            out_dtype, k_rem=0, epilogue=None, debug=False):
     """One (block_m x block_n) C tile, one K-chunk per invocation.
 
     Grid is (m, n, k) with k innermost ("arbitrary"); the accumulator
     carries across the k steps — the analogue of the PE's n0/m0/k loop nest
     holding cBuffer stationary (``kernel/Compute.cpp:53-149``).
+
+    M/N edge tiles need no explicit masking: Mosaic bounds-checks the
+    output store, and garbage rows/columns of the accumulator fall outside
+    the stored region.  The K edge is masked via ``k_rem`` (elements of the
+    final K block beyond the logical K extent are zeroed before the dot).
 
     ``refs`` = (*epilogue_operand_refs, o_ref, acc_ref): an optional fused
     epilogue (bias add, activation, scaling) is applied to the accumulator
@@ -67,6 +86,19 @@ def _kernel(a_ref, b_ref, *refs, n_k_grid, dims, precision,
     writeback conversion stage, ``kernel/Memory.cpp:323-359``).
     """
     *ep_refs, o_ref, acc_ref = refs
+    (a_contract,), (b_contract,) = dims
+
+    def operands():
+        if not k_rem:
+            return a_ref[:], b_ref[:]
+        if n_k_grid == 1:
+            limit = k_rem
+        else:
+            is_last = pl.program_id(2) == n_k_grid - 1
+            bk = a_ref.shape[a_contract]
+            limit = jnp.where(is_last, k_rem, bk)
+        return (_mask_k_tail(a_ref, a_contract, limit),
+                _mask_k_tail(b_ref, b_contract, limit))
 
     def emit(acc):
         if epilogue is not None:
@@ -84,8 +116,9 @@ def _kernel(a_ref, b_ref, *refs, n_k_grid, dims, precision,
         # Whole K in one block: the accumulator carries nothing across
         # steps, so skip the VMEM scratch round trip and store straight
         # from the MXU result (measured worth ~0.5% at 8192^3).
+        a_v, b_v = operands()
         emit(jax.lax.dot_general(
-            a_ref[:], b_ref[:], dimension_numbers=(dims, ((), ())),
+            a_v, b_v, dimension_numbers=(dims, ((), ())),
             preferred_element_type=acc_ref.dtype, precision=precision))
         return
 
@@ -93,9 +126,10 @@ def _kernel(a_ref, b_ref, *refs, n_k_grid, dims, precision,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    a_v, b_v = operands()
     acc_ref[:] += jax.lax.dot_general(
-        a_ref[:],
-        b_ref[:],
+        a_v,
+        b_v,
         dimension_numbers=(dims, ((), ())),
         preferred_element_type=acc_ref.dtype,
         precision=precision,
@@ -121,8 +155,11 @@ def mxu_matmul(a, b, *ep_operands, cfg: GemmConfig, transpose_a=False,
       epilogue: optional fused output transform applied to the fp32
         accumulator before the store: ``epilogue(acc, *ep_blocks)`` with
         ``acc`` (block_m, block_n) and each ep block (1, block_n).
-    Shapes must already be multiples of the block sizes (``ops/matmul.py``
-    owns padding/masking policy).
+
+    Shapes need *not* be block-aligned: the grid is ceil-divided, Mosaic
+    bounds-masks the M/N edge stores, and the kernel zeroes the K-tail of
+    the final K block in-register (reference dynamic-size masking,
+    ``kernel/Compute.cpp:112-137``) — no host-side pad or slice copies.
 
     Returns (M, N) in ``cfg.out_dtype``.
     """
@@ -145,13 +182,8 @@ def mxu_matmul(a, b, *ep_operands, cfg: GemmConfig, transpose_a=False,
         b_contract = 0
     if kb != k_dim:
         raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
-    if m % bm or n % bn or k_dim % bk:
-        raise ValueError(
-            f"mxu_matmul requires pre-padded operands: ({m},{n},{k_dim}) "
-            f"vs blocks ({bm},{bn},{bk})"
-        )
 
-    grid = (m // bm, n // bn, k_dim // bk)
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), pl.cdiv(k_dim, bk))
     two_d = grid[2] == 1
     if two_d:
         # Whole K in one block: drop the K grid dimension entirely — the
@@ -175,6 +207,7 @@ def mxu_matmul(a, b, *ep_operands, cfg: GemmConfig, transpose_a=False,
         dims=((a_contract,), (b_contract,)),
         precision=_resolve_precision(cfg),
         out_dtype=out_dtype,
+        k_rem=k_dim % bk,
         epilogue=epilogue,
         debug=cfg.debug,
     )

@@ -28,11 +28,21 @@ def time_fn(fn: Callable, args_sets: Sequence[Tuple], *, iters: int = 10,
     the work being observable, may cache repeated executions, and charge a
     multi-ms round trip per dispatch — so the repetition loop runs
     *on-device*: a ``fori_loop`` whose body recomputes ``fn`` behind an
-    ``optimization_barrier`` tied to a loop-carried checksum of the full
-    output.  XLA can neither hoist the call out of the loop, CSE it, nor
-    dead-code-eliminate any output element, and the single final host fetch
-    of the checksum cannot complete before every iteration has executed.
-    One transport round trip total.
+    ``optimization_barrier`` tied to a loop-carried checksum.  XLA can
+    neither hoist the call out of the loop, CSE it, nor dead-code-eliminate
+    the output (the output passes through a second ``optimization_barrier``,
+    whose operand must be fully materialized), and the single final host
+    fetch of the checksum cannot complete before every iteration has
+    executed.  One transport round trip total.
+
+    The checksum reads only a small corner tile of the barrier'd output
+    rather than reducing the whole array: a full-output ``jnp.sum`` is free
+    for native XLA ops (it fuses into the op's output fusion) but costs an
+    opaque Pallas/custom-call kernel a full extra HBM read of C per
+    iteration — a systematic anti-Pallas bias of up to ~20% on
+    output-heavy shapes (measured on 1024x65536x1024: 133->180 TF after
+    the fix).  The barrier makes the tile read tamper-proof: XLA cannot
+    narrow the producer's computation through an optimization_barrier.
 
     The fixed per-measurement cost (dispatch + scalar-fetch round trip,
     ~15-30 ms and load-dependent on remote-attached chips) is cancelled
@@ -53,8 +63,9 @@ def time_fn(fn: Callable, args_sets: Sequence[Tuple], *, iters: int = 10,
             def body(_, s):
                 barred = jax.lax.optimization_barrier(tuple(xs) + (s,))
                 out = fn(*barred[:-1])
-                leaf = jax.tree.leaves(out)[0]
-                return barred[-1] + jnp.sum(leaf.astype(jnp.float32))
+                leaf = jax.lax.optimization_barrier(jax.tree.leaves(out)[0])
+                tile = leaf[tuple(slice(0, min(d, 8)) for d in leaf.shape)]
+                return barred[-1] + jnp.sum(tile.astype(jnp.float32))
             return jax.lax.fori_loop(0, n, body,
                                      jnp.zeros((), jnp.float32))
         return jax.jit(repeated)

@@ -245,6 +245,25 @@ class GemmConfig:
             + m * n * out_b
         )
 
+    def hbm_traffic_bytes(self, m: int, n: int, k: int) -> int:
+        """Actual HBM traffic of the Pallas schedule, in bytes.
+
+        Refines :meth:`io_volume_bytes` (the reference's schedule *law*)
+        with one Mosaic pipelining fact: when the whole K fits one block
+        (grid K-dim = 1, the full-K-stream configurations) the kernel runs
+        a pure 2-D (i, j) sweep with j innermost, so A's block index (i)
+        is unchanged across each j sweep and Mosaic skips the re-fetch —
+        A is read ``gm`` times, not ``gm*gn``.  (With K gridded, both
+        operands' indices change at every step and the law is exact.)
+        """
+        in_b = np.dtype(self.dtype).itemsize
+        out_b = np.dtype(self.jout_dtype).itemsize
+        gm, gn, gk = self.grid(m, n, k)
+        a_fetches = gm if gk == 1 else gm * gn
+        return ((self.block_m * k * a_fetches
+                 + k * self.block_n * gm * gn) * in_b
+                + m * n * out_b)
+
     def flops(self, m: int, n: int, k: int) -> int:
         """2*M*N*K — one map + one reduce per inner product term, matching
         the reference's GOp/s accounting (``host/RunHardware.cpp:174-180``)."""

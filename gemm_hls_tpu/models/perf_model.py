@@ -178,7 +178,12 @@ def specifications(cfg: GemmConfig, m: int, n: int, k: int,
     """
     chip = chip or detect_chip()
     flops = cfg.flops(m, n, k)
-    io_bytes = cfg.io_volume_bytes(m, n, k)
+    # The schedule-law volume (io_volume_bytes) is what the reference's
+    # comm-volume printout reports; the runtime estimate uses the
+    # Mosaic-reuse-refined traffic (A not re-fetched across the j sweep
+    # when K fits one block) — measured: full-K-stream configs otherwise
+    # model up to ~26% too slow.
+    io_bytes = cfg.hbm_traffic_bytes(m, n, k)
     peak = chip.peak_for(cfg.dtype) if semiring_is_mxu else chip.vpu_ops
 
     t_compute = flops / peak

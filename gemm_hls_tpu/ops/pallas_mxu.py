@@ -221,7 +221,7 @@ def mxu_matmul(a, b, *ep_operands, cfg: GemmConfig, transpose_a=False,
         )
         kwargs["cost_estimate"] = pl.CostEstimate(
             flops=2 * m * n * k_dim,
-            bytes_accessed=cfg.io_volume_bytes(m, n, k_dim),
+            bytes_accessed=cfg.hbm_traffic_bytes(m, n, k_dim),
             transcendentals=0,
         )
 

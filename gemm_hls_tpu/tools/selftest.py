@@ -65,6 +65,15 @@ def main(argv=None):
           gemm_case(big, big, big, "bfloat16", rtol=1e-2,
                     out_dtype="float32"))
     check("unaligned 333x517x129 fp32", gemm_case(333, 517, 129, "float32"))
+    # K-tail masking across multiple K grid steps (k_rem path of the
+    # compiled MXU kernel: 777 % 256 = 9, 4 K steps) plus M/N edge-store
+    # masking, bf16 — the in-kernel analogue of the reference's
+    # dynamic-size bounds masking (kernel/Compute.cpp:112-137).
+    check("unaligned bf16 multi-K-step (k_rem)",
+          gemm_case(515, 389, 777, "bfloat16", rtol=1e-2,
+                    out_dtype="float32",
+                    config=GemmConfig(dtype="bfloat16", block_m=256,
+                                      block_n=256, block_k=256)))
     check("int8 -> int32 MXU",
           gemm_case(256, 256, 512, "int8", out_dtype="int32"))
     check("min_plus VPU (distance product)",

@@ -273,11 +273,31 @@ def _run_one_inner(cfg: GemmConfig, m: int, n: int, k: int, *,
         if not ok:
             return SweepResult(cfg, "wrong_result", max_rel_err=err)
 
+    # Physical-ceiling sanity (the bench.py protocol): slope readings on
+    # the relay transport occasionally come back faster than the hardware
+    # peak when an RTT hiccup lands on the short-loop measurement.
+    # Re-measure up to twice; a reading that stays impossible is published
+    # as unreliable_timing rather than as a record.
+    ceiling = None
+    if sr.is_mxu:
+        try:
+            from gemm_hls_tpu.models.perf_model import detect_chip
+            ceiling = detect_chip().peak_for(cfg.dtype) or None
+        except Exception:  # noqa: BLE001 — unknown chip/dtype: no ceiling
+            ceiling = None
     try:
         secs = time_fn(fn, [(aj, bj)], iters=iters, warmup=1)
+        retries = 2
+        while (ceiling and gflops(m, n, k, secs) * 1e9 > ceiling
+               and retries):
+            secs = time_fn(fn, [(aj, bj)], iters=iters, warmup=1)
+            retries -= 1
     except Exception as e:  # noqa: BLE001
         return SweepResult(cfg, "crashed",
                            detail=traceback.format_exception_only(e)[-1].strip())
+    if ceiling and gflops(m, n, k, secs) * 1e9 > ceiling:
+        return SweepResult(cfg, "unreliable_timing", seconds=secs,
+                           gflops=gflops(m, n, k, secs), max_rel_err=err)
     return SweepResult(cfg, "ok", seconds=secs, gflops=gflops(m, n, k, secs),
                        max_rel_err=err)
 

@@ -64,3 +64,23 @@ def test_grid_covers_problem_exactly():
         assert gm * cfg.block_m == mp and mp - m < cfg.block_m
         assert gn * cfg.block_n == np_ and np_ - n < cfg.block_n
         assert gk * cfg.block_k == kp and kp - k < cfg.block_k
+
+
+def test_hbm_traffic_reuse_refinement():
+    """hbm_traffic_bytes == io_volume_bytes when K is gridded (every block
+    index changes per step), and drops exactly the (gn-1) redundant A slab
+    fetches when K fits one block (pure 2-D sweep, A resident across j)."""
+    from gemm_hls_tpu.config import GemmConfig
+
+    m = n = k = 4096
+    gridded = GemmConfig(dtype="bfloat16", block_m=512, block_n=512,
+                         block_k=1024)
+    assert gridded.hbm_traffic_bytes(m, n, k) == \
+        gridded.io_volume_bytes(m, n, k)
+
+    full_k = GemmConfig(dtype="bfloat16", block_m=512, block_n=512,
+                        block_k=4096)
+    gm, gn, gk = full_k.grid(m, n, k)
+    assert gk == 1
+    saved = full_k.io_volume_bytes(m, n, k) - full_k.hbm_traffic_bytes(m, n, k)
+    assert saved == full_k.block_m * k * gm * (gn - 1) * 2  # bf16 bytes

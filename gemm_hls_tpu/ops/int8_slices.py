@@ -149,8 +149,9 @@ def _fp32_matmul_int8_impl(a, b, *, block_m: int = 512, block_n: int = 1024,
 
         # Fast path: per-diagonal int32 accumulators across the whole K
         # — no per-block float flush at all (see _diag_kernel).
-        # bk=2048 measured fastest on v5e (53.4/96.7 TF for x3/x2 at
-        # 8192^3; 4096 loses ~4% to double-buffer pressure).
+        # bk=2048 and 4096 measure equal on v5e under the fusion-fair
+        # harness (104.0 vs 103.2 TF i8x2 at 8192^3; bk=8192 loses ~9%);
+        # 2048 kept for its lower VMEM pressure at large n_slices.
         # The exactness gate uses the PADDED K the kernel will see (zero
         # padding contributes no products but the kernel re-validates on
         # its input shape).

@@ -140,3 +140,32 @@ def test_isolated_sweep_parallel_workers(tmp_path):
                 isolation="process", platform="cpu", workers=3, timeout_s=300)
     assert [r.status for r in res] == ["ok", "ok", "ok"]
     assert [r.config.block_m for r in res] == [16, 32, 16]
+
+
+def test_run_one_unreliable_timing_classified(monkeypatch):
+    """A reading that stays above the hardware peak after retries is
+    published as unreliable_timing, not as a record (ADVICE r1 bench.py
+    finding, extended to the sweep)."""
+    from gemm_hls_tpu.models import perf_model
+    from gemm_hls_tpu.tools import sweep as sweep_mod
+
+    class TinyChip:
+        name = "tiny"
+
+        def peak_for(self, dtype):
+            return 1.0  # 1 FLOP/s: every real measurement exceeds it
+
+    monkeypatch.setattr(perf_model, "detect_chip", lambda: TinyChip())
+    calls = {"n": 0}
+    real_time_fn = sweep_mod.time_fn
+
+    def counting_time_fn(*a, **kw):
+        calls["n"] += 1
+        return real_time_fn(*a, **kw)
+
+    monkeypatch.setattr(sweep_mod, "time_fn", counting_time_fn)
+    cfg = BASE.replace(block_m=16, block_n=128, block_k=64)
+    res = run_one(cfg, 32, 128, 64, iters=1, verify=False)
+    assert res.status == "unreliable_timing"
+    assert calls["n"] == 3  # initial + 2 re-measures before giving up
+    assert res.gflops is not None

@@ -88,7 +88,17 @@ def main(argv=None):
             return 0 if ok else 1
         return 0
 
-    cfg = default_config(args.dtype, semiring=sr.name)
+    cfg = None
+    if args.block_m is None and args.block_n is None and args.block_k is None:
+        # No explicit blocks: consult the measured autotune winners (user
+        # cache, then the packaged per-chip seed) — the same default the
+        # library front door uses for an untuned matmul(a, b).
+        from gemm_hls_tpu.tools.autotune import cached_config
+
+        cfg = cached_config(args.m, args.n, args.k, dtype=args.dtype,
+                            semiring=sr.name)
+    if cfg is None:
+        cfg = default_config(args.dtype, semiring=sr.name)
     overrides = {}
     for name in ("block_m", "block_n", "block_k"):
         if getattr(args, name) is not None:

@@ -1,0 +1,73 @@
+"""Batched (3-D) GEMM suite vs XLA's batched dot (one chip).
+
+The 3-D form dispatches a vmapped Pallas kernel (batch becomes a leading
+grid dimension — one launch for the whole batch).  XLA's batched dot
+degrades sharply as the per-example GEMM shrinks (launch/layout overhead);
+the vmapped kernel keeps the MXU busy.  Writes
+artifacts/batched_shapes_<chip>.csv.
+"""
+import csv
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from gemm_hls_tpu import matmul
+from gemm_hls_tpu.models.perf_model import detect_chip
+from gemm_hls_tpu.utils.benchmark import time_fn
+
+SHAPES = [
+    # (B, M, N, K, label)
+    (16, 2048, 2048, 2048, "batched mid (16x2048^3)"),
+    (64, 512, 512, 512, "batched small (64x512^3)"),
+    (256, 128, 128, 128, "per-head attention (256x128^3)"),
+    (32, 1024, 1024, 128, "per-head scores (seq x seq, hd=128)"),
+]
+
+
+def main():
+    chip = detect_chip()
+    peak_gf = chip.peak_for("bfloat16") / 1e9
+    out = f"artifacts/batched_shapes_{chip.name}.csv"
+    fields = ["label", "b", "m", "n", "k", "pallas_gflops", "xla_gflops",
+              "ratio"]
+    with open(out, "w", newline="") as f:
+        csv.DictWriter(f, fieldnames=fields).writeheader()
+
+    def emit(row):
+        with open(out, "a", newline="") as f:
+            csv.DictWriter(f, fieldnames=fields).writerow(row)
+
+    for bsz, m, n, k, label in SHAPES:
+        ka, kb = jax.random.split(jax.random.PRNGKey(5))
+        a = jax.random.uniform(ka, (bsz, m, k), jnp.bfloat16, 1, 10)
+        b = jax.random.uniform(kb, (bsz, k, n), jnp.bfloat16, 1, 10)
+        jax.block_until_ready((a, b))
+        flops = 2 * bsz * m * n * k
+        # Small batches finish in ~0.1 ms: scale the slope's iteration
+        # count so each measurement integrates >= ~60 GFLOP of work,
+        # otherwise RTT jitter swamps the slope.
+        iters = max(6, min(200, int(60e9 * 6 / flops)))
+        ours = jax.jit(lambda x, y: matmul(x, y))
+        xla = jax.jit(lambda x, y: jnp.einsum("bmk,bkn->bmn", x, y))
+        ps, xs = [], []
+        for _ in range(3):
+            for fn, out_list in ((ours, ps), (xla, xs)):
+                gf = flops / time_fn(fn, [(a, b)], iters=iters) / 1e9
+                if gf > peak_gf:
+                    gf = flops / time_fn(fn, [(a, b)], iters=iters) / 1e9
+                if gf <= peak_gf:
+                    out_list.append(gf)
+        gf_p = sorted(ps)[len(ps) // 2]
+        gf_x = sorted(xs)[len(xs) // 2]
+        emit(dict(label=label, b=bsz, m=m, n=n, k=k,
+                  pallas_gflops=round(gf_p, 1), xla_gflops=round(gf_x, 1),
+                  ratio=round(gf_p / gf_x, 3)))
+        print(f"{label:38s}: pallas {gf_p/1e3:6.1f} TF  xla {gf_x/1e3:6.1f} "
+              f"TF  ratio {gf_p/gf_x:.3f}", flush=True)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -111,6 +111,74 @@ def _mxu_bwd(cfg, res, g):
 _mxu_padded.defvjp(_mxu_fwd, _mxu_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Batched (3-D) MXU path: one batched kernel when per-example operands fit
+# whole VMEM blocks — amortizes the per-grid-step latch that makes a vmapped
+# 2-D kernel latch-bound at small per-example sizes.  Same VJP flag algebra
+# as the 2-D path.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _mxu_batched(a, b, cfg: GemmConfig):
+    return pallas_mxu.mxu_matmul_batched(
+        a, b, cfg=cfg, transpose_a=cfg.transpose_a,
+        transpose_b=cfg.transpose_b, interpret=_resolve_interpret(cfg))
+
+
+def _mxu_batched_fwd(a, b, cfg):
+    return _mxu_batched(a, b, cfg), (a, b)
+
+
+def _mxu_batched_bwd(cfg, res, g):
+    a, b = res
+    ta, tb = cfg.transpose_a, cfg.transpose_b
+    g = g.astype(cfg.jacc_dtype)
+
+    def run(x, y, tx, ty, out_dtype):
+        c = cfg.replace(transpose_a=tx, transpose_b=ty,
+                        out_dtype=str(np.dtype(out_dtype)))
+        return _mxu_batched(x, y, c)
+
+    if not ta:
+        da = run(g, b, False, not tb, a.dtype)        # g . op(B)^T
+    else:
+        da = run(b, g, tb, True, a.dtype)             # op(B) . g^T
+    if not tb:
+        db = run(a, g, not ta, False, b.dtype)        # op(A)^T . g
+    else:
+        db = run(g, a, True, ta, b.dtype)             # g^T . op(A)
+    return da.astype(a.dtype), db.astype(b.dtype)
+
+
+_mxu_batched.defvjp(_mxu_batched_fwd, _mxu_batched_bwd)
+
+
+def _batched_fast_path_ok(a, b, cfg: GemmConfig, sr: Semiring,
+                          backend, epilogue) -> bool:
+    """Route a uniform 3-D problem to the batched kernel when each
+    example's operands + f32 accumulator fit a VMEM block with at least
+    two examples per grid step (otherwise the vmapped 2-D kernel and its
+    full tiling machinery win)."""
+    if not (a.ndim == 3 and b.ndim == 3 and a.shape[0] == b.shape[0]):
+        return False
+    if not sr.is_mxu or epilogue is not None:
+        return False
+    if backend not in (None, "pallas"):
+        return False
+    if cfg.precision in ("i8x2", "i8x3", "i8x4"):
+        return False
+    if np.dtype(cfg.dtype) == np.float64:
+        return False
+    m = a.shape[2] if cfg.transpose_a else a.shape[1]
+    n = b.shape[1] if cfg.transpose_b else b.shape[2]
+    k = a.shape[1] if cfg.transpose_a else a.shape[2]
+    if min(m, n, k) == 0:
+        return False
+    in_b = np.dtype(cfg.dtype).itemsize
+    per_ex = 2 * (m * k + k * n) * in_b + 4 * m * n
+    return per_ex * 2 <= cfg.vmem_limit_bytes * 0.6
+
+
 def _mxu_with_epilogue(a, b, cfg: GemmConfig, epilogue, ep_operands):
     """Forward-only MXU matmul with a fused output epilogue."""
     interpret = _resolve_interpret(cfg)
@@ -264,8 +332,29 @@ def matmul(
     sr = get_semiring(semiring)
     auto_config = config is None
     if a.ndim == 3 or b.ndim == 3:
-        # Batched GEMM: vmap over the leading axis (a 2-D operand is
-        # broadcast across the batch).
+        if a.ndim == 3 and b.ndim == 3:
+            bcfg = config or default_config(str(a.dtype), semiring=sr.name)
+            overrides = {}
+            if transpose_a is not None:
+                overrides["transpose_a"] = transpose_a
+            if transpose_b is not None:
+                overrides["transpose_b"] = transpose_b
+            if out_dtype is not None:
+                overrides["out_dtype"] = str(jnp.dtype(out_dtype))
+            if interpret is not None:
+                overrides["interpret"] = interpret
+            if precision is not None:
+                overrides["precision"] = precision
+            if str(a.dtype) != bcfg.dtype:
+                overrides["dtype"] = str(a.dtype)
+            if overrides:
+                bcfg = bcfg.replace(**overrides)
+            if (a.dtype == b.dtype and sr.supports_dtype(a.dtype)
+                    and _batched_fast_path_ok(a, b, bcfg, sr, backend,
+                                              epilogue)):
+                return _mxu_batched(a, b, bcfg)
+        # General batched GEMM: vmap over the leading axis (a 2-D operand
+        # is broadcast across the batch).
         kw = dict(semiring=semiring, config=config, transpose_a=transpose_a,
                   transpose_b=transpose_b, out_dtype=out_dtype,
                   backend=backend, interpret=interpret, precision=precision,

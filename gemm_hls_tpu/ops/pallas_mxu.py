@@ -140,6 +140,106 @@ def _kernel(a_ref, b_ref, *refs, n_k_grid, dims, precision,
         emit(acc_ref[:])
 
 
+def _batched_kernel(a_ref, b_ref, o_ref, *, dims, precision, out_dtype,
+                    acc_dtype):
+    """One grid step = a whole batch-block of examples: a single batched
+    ``dot_general`` over the (batch_block, m, k) x (batch_block, k, n)
+    VMEM blocks.  Amortizes the per-grid-step scheduling latch (~220 ns on
+    v5e) over the whole block — a vmapped 2-D kernel pays it per example,
+    which dominates at small per-example sizes (measured 13 TF for
+    256x(128^3) via vmap vs the latch-amortized batched grid)."""
+    (ac, bc) = dims
+    o_ref[:] = jax.lax.dot_general(
+        a_ref[:], b_ref[:],
+        dimension_numbers=(((ac,), (bc,)), ((0,), (0,))),
+        preferred_element_type=acc_dtype,
+        precision=precision,
+    ).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "transpose_a",
+                                             "transpose_b", "interpret"))
+def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
+                       transpose_b=False, interpret=False):
+    """Batched plus-times matmul: (B, M, K) x (B, K, N) -> (B, M, N).
+
+    For per-example problems small enough that each (M, K)/(K, N) operand
+    fits one VMEM block whole (K un-gridded): the grid is 1-D over
+    batch-blocks and each step issues one batched MXU contraction over
+    ``batch_block`` examples.  ``ops/matmul.py`` routes small uniform 3-D
+    problems here and falls back to the vmapped 2-D kernel otherwise.
+
+    With ``transpose_a`` each example of ``a`` is (K, M); with
+    ``transpose_b`` each example of ``b`` is (N, K) — handled by dot
+    dimension numbers, no materialized transpose.
+    """
+    bsz = a.shape[0]
+    if transpose_a:
+        k_dim, m = a.shape[1:]
+        a_contract = 1
+    else:
+        m, k_dim = a.shape[1:]
+        a_contract = 2
+    if transpose_b:
+        n, kb = b.shape[1:]
+        b_contract = 2
+    else:
+        kb, n = b.shape[1:]
+        b_contract = 1
+    if kb != k_dim or b.shape[0] != bsz:
+        raise ValueError(f"batched shape mismatch: {a.shape} x {b.shape}")
+
+    # Whole examples per block; batch-block sized to a fixed per-step DMA
+    # quantum (~8 MB of operands+output), NOT to fill VMEM: measured at
+    # 64x(512^3), bb=6 (9 MB/step) runs 187 TF while a VMEM-filling bb=22
+    # runs 104 TF — small steps leave room for Mosaic's multi-buffering
+    # and pipeline DMA against the MXU; bb=2 (grid-latch-bound) collapses
+    # to 59 TF.  A secondary VMEM cap guards big examples.
+    in_b = jnp.dtype(cfg.dtype).itemsize
+    out_b = jnp.dtype(cfg.jout_dtype).itemsize
+    bytes_ex = (m * k_dim + k_dim * n) * in_b + m * n * out_b
+    bb_quantum = max(1, round(8 * 1024 * 1024 / max(bytes_ex, 1)))
+    bb_vmem = max(1, int(cfg.vmem_limit_bytes // (3 * max(bytes_ex, 1))))
+    bb = min(bsz, bb_quantum, bb_vmem)
+    grid = (pl.cdiv(bsz, bb),)
+
+    kernel = functools.partial(
+        _batched_kernel,
+        dims=(a_contract, b_contract),
+        precision=_resolve_precision(cfg),
+        out_dtype=cfg.jout_dtype,
+        acc_dtype=cfg.jacc_dtype,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * bsz * m * n * k_dim,
+            bytes_accessed=(a.size + b.size) * in_b + bsz * m * n
+            * jnp.dtype(cfg.jout_dtype).itemsize,
+            transcendentals=0,
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb,) + a.shape[1:], lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb,) + b.shape[1:], lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, m, n), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, m, n), cfg.jout_dtype),
+        interpret=interpret,
+        name=f"ca_gemm_mxu_batched_{bb}x{m}x{n}x{k_dim}",
+        **kwargs,
+    )(a, b)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "transpose_a", "transpose_b",
                               "interpret", "epilogue")

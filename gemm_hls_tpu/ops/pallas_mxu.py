@@ -158,9 +158,11 @@ def _batched_kernel(a_ref, b_ref, o_ref, *, dims, precision, out_dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "transpose_a",
-                                             "transpose_b", "interpret"))
+                                             "transpose_b", "interpret",
+                                             "batch_block"))
 def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
-                       transpose_b=False, interpret=False):
+                       transpose_b=False, interpret=False,
+                       batch_block=None):
     """Batched plus-times matmul: (B, M, K) x (B, K, N) -> (B, M, N).
 
     For per-example problems small enough that each (M, K)/(K, N) operand
@@ -198,9 +200,12 @@ def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
     in_b = jnp.dtype(cfg.dtype).itemsize
     out_b = jnp.dtype(cfg.jout_dtype).itemsize
     bytes_ex = (m * k_dim + k_dim * n) * in_b + m * n * out_b
-    bb_quantum = max(1, round(8 * 1024 * 1024 / max(bytes_ex, 1)))
-    bb_vmem = max(1, int(cfg.vmem_limit_bytes // (3 * max(bytes_ex, 1))))
-    bb = min(bsz, bb_quantum, bb_vmem)
+    if batch_block is not None:
+        bb = max(1, min(bsz, batch_block))
+    else:
+        bb_quantum = max(1, round(8 * 1024 * 1024 / max(bytes_ex, 1)))
+        bb_vmem = max(1, int(cfg.vmem_limit_bytes // (3 * max(bytes_ex, 1))))
+        bb = min(bsz, bb_quantum, bb_vmem)
     grid = (pl.cdiv(bsz, bb),)
 
     kernel = functools.partial(

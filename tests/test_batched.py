@@ -114,3 +114,15 @@ def test_broadcast_2d_operand_uses_vmap():
                     np.asarray(w, np.float64))
     np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-5,
                                atol=1e-4)
+
+
+def test_batch_block_override():
+    from gemm_hls_tpu.ops import pallas_mxu
+
+    a = jnp.asarray(RNG.uniform(-1, 1, (6, 16, 8)).astype(np.float32))
+    b = jnp.asarray(RNG.uniform(-1, 1, (6, 8, 24)).astype(np.float32))
+    cfg = GemmConfig(dtype="float32")
+    out = pallas_mxu.mxu_matmul_batched(a, b, cfg=cfg, interpret=True,
+                                        batch_block=4)  # 6 % 4 != 0: edge
+    np.testing.assert_allclose(np.asarray(out), _ref(a, b), rtol=1e-5,
+                               atol=1e-5)

@@ -17,11 +17,13 @@ Dispatch:
   f64; XLA emulates it — the reference's double-precision configuration).
 
 Shape policy (reference ``MM_DYNAMIC_SIZES`` masking,
-``kernel/Compute.cpp:112-137``): with ``pad_policy="pad"`` operands are
-zero-padded up to block multiples; the MXU semiring is exact under zero
-K-padding, the VPU kernel masks the K tail to the reduce identity in-kernel,
-and M/N overhang is sliced off the output.  ``pad_policy="strict"`` rejects
-unaligned shapes like the reference's static-size build.
+``kernel/Compute.cpp:112-137``): with ``pad_policy="pad"`` unaligned
+shapes run unmodified — the MXU kernel ceil-divides its grid, zeroes the
+K-tail of both operand blocks in-register, and relies on Mosaic's
+bounds-masked M/N edge stores (no host-side pad or slice copies); the VPU
+path masks the K tail to the reduce identity in-kernel and pads M/N (its
+edge tiles carry semiring identities, not garbage).  ``pad_policy="strict"``
+rejects unaligned shapes like the reference's static-size build.
 """
 
 from __future__ import annotations
@@ -331,6 +333,25 @@ def matmul(
     """
     sr = get_semiring(semiring)
     auto_config = config is None
+    if a.ndim > 3 or b.ndim > 3:
+        # N-D batching (jnp.matmul-style): flatten identical leading batch
+        # dims to one axis, run the 3-D path, restore.  A 2-D operand
+        # broadcasts across the whole batch.
+        lead_a = a.shape[:-2] if a.ndim > 2 else ()
+        lead_b = b.shape[:-2] if b.ndim > 2 else ()
+        if lead_a and lead_b and lead_a != lead_b:
+            raise ValueError(
+                f"batch dims must match (or one operand be 2-D): "
+                f"{a.shape} x {b.shape}")
+        lead = lead_a or lead_b
+        a3 = a.reshape((-1,) + a.shape[-2:]) if lead_a else a
+        b3 = b.reshape((-1,) + b.shape[-2:]) if lead_b else b
+        out = matmul(a3, b3, semiring=semiring, config=config,
+                     transpose_a=transpose_a, transpose_b=transpose_b,
+                     out_dtype=out_dtype, backend=backend,
+                     interpret=interpret, precision=precision,
+                     epilogue=epilogue, epilogue_operands=epilogue_operands)
+        return out.reshape(lead + out.shape[-2:])
     if a.ndim == 3 or b.ndim == 3:
         if a.ndim == 3 and b.ndim == 3:
             bcfg = config or default_config(str(a.dtype), semiring=sr.name)
@@ -362,7 +383,8 @@ def matmul(
         in_axes = (0 if a.ndim == 3 else None, 0 if b.ndim == 3 else None)
         return jax.vmap(lambda x, y: matmul(x, y, **kw), in_axes=in_axes)(a, b)
     if a.ndim != 2 or b.ndim != 2:
-        raise ValueError(f"matmul expects 2-D or 3-D operands, got {a.shape}, {b.shape}")
+        raise ValueError(
+            f"matmul expects operands of ndim >= 2, got {a.shape}, {b.shape}")
     if config is None:
         if not transpose_a and not transpose_b:
             # Measured autotune winner for this (chip, dtype, semiring,

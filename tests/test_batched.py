@@ -126,3 +126,24 @@ def test_batch_block_override():
                                         batch_block=4)  # 6 % 4 != 0: edge
     np.testing.assert_allclose(np.asarray(out), _ref(a, b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_nd_batching_flattens_leading_dims():
+    a = jnp.asarray(RNG.uniform(-1, 1, (2, 3, 16, 8)).astype(np.float32))
+    b = jnp.asarray(RNG.uniform(-1, 1, (2, 3, 8, 24)).astype(np.float32))
+    out = matmul(a, b)
+    assert out.shape == (2, 3, 16, 24)
+    exp = np.einsum("xymk,xykn->xymn", np.asarray(a, np.float64),
+                    np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-5, atol=1e-5)
+
+    # 2-D weight broadcast across a 4-D activation batch
+    w = jnp.asarray(RNG.uniform(-1, 1, (8, 24)).astype(np.float32))
+    out = matmul(a, w)
+    assert out.shape == (2, 3, 16, 24)
+    exp = np.einsum("xymk,kn->xymn", np.asarray(a, np.float64),
+                    np.asarray(w, np.float64))
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="batch dims"):
+        matmul(a, jnp.zeros((5, 8, 24), jnp.float32))

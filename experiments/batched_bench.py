@@ -15,7 +15,7 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 from gemm_hls_tpu import matmul
 from gemm_hls_tpu.models.perf_model import detect_chip
-from gemm_hls_tpu.utils.benchmark import time_fn
+from gemm_hls_tpu.utils.benchmark import interleaved_medians
 
 SHAPES = [
     # (B, M, N, K, label)
@@ -51,16 +51,8 @@ def main():
         iters = max(6, min(200, int(60e9 * 6 / flops)))
         ours = jax.jit(lambda x, y: matmul(x, y))
         xla = jax.jit(lambda x, y: jnp.einsum("bmk,bkn->bmn", x, y))
-        ps, xs = [], []
-        for _ in range(3):
-            for fn, out_list in ((ours, ps), (xla, xs)):
-                gf = flops / time_fn(fn, [(a, b)], iters=iters) / 1e9
-                if gf > peak_gf:
-                    gf = flops / time_fn(fn, [(a, b)], iters=iters) / 1e9
-                if gf <= peak_gf:
-                    out_list.append(gf)
-        gf_p = sorted(ps)[len(ps) // 2]
-        gf_x = sorted(xs)[len(xs) // 2]
+        gf_p, gf_x = interleaved_medians((ours, xla), (a, b), flops,
+                                         peak_gf, iters=iters)
         emit(dict(label=label, b=bsz, m=m, n=n, k=k,
                   pallas_gflops=round(gf_p, 1), xla_gflops=round(gf_x, 1),
                   ratio=round(gf_p / gf_x, 3)))

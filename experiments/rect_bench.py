@@ -15,7 +15,7 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 from gemm_hls_tpu import matmul
 from gemm_hls_tpu.models.perf_model import detect_chip
-from gemm_hls_tpu.utils.benchmark import time_fn
+from gemm_hls_tpu.utils.benchmark import interleaved_medians
 
 SHAPES = [
     # (M, N, K, label)
@@ -61,21 +61,10 @@ def main():
         try:
             ours = jax.jit(lambda x, y: matmul(x, y))
             xla = jax.jit(lambda x, y: jnp.dot(x, y))
-            # Interleaved median-of-3, readings above the datasheet peak
-            # re-measured then dropped (bench.py protocol — the relay
-            # transport occasionally returns physically impossible times).
-            ps, xs = [], []
-            for _ in range(3):
-                for fn, out_list in ((ours, ps), (xla, xs)):
-                    gf = flops / time_fn(fn, [(a, b)], iters=6) / 1e9
-                    if gf > peak_gf:
-                        gf = flops / time_fn(fn, [(a, b)], iters=6) / 1e9
-                    if gf <= peak_gf:
-                        out_list.append(gf)
-            if not ps or not xs:
-                raise RuntimeError("no sane readings")
-            gf_p = sorted(ps)[len(ps) // 2]
-            gf_x = sorted(xs)[len(xs) // 2]
+            # Interleaved median-of-3 with peak-sanity retries — the
+            # shared suite protocol (utils/benchmark.interleaved_medians).
+            gf_p, gf_x = interleaved_medians((ours, xla), (a, b), flops,
+                                             peak_gf)
             emit(dict(label=label, m=m, n=n, k=k,
                       pallas_gflops=round(gf_p, 1),
                       xla_gflops=round(gf_x, 1),

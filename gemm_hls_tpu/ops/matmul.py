@@ -163,6 +163,8 @@ def _batched_fast_path_ok(a, b, cfg: GemmConfig, sr: Semiring,
     full tiling machinery win)."""
     if not (a.ndim == 3 and b.ndim == 3 and a.shape[0] == b.shape[0]):
         return False
+    if a.shape[0] == 0:
+        return False  # empty batch: vmap returns the empty result
     if not sr.is_mxu or epilogue is not None:
         return False
     if backend not in (None, "pallas"):
@@ -170,6 +172,10 @@ def _batched_fast_path_ok(a, b, cfg: GemmConfig, sr: Semiring,
     if cfg.precision in ("i8x2", "i8x3", "i8x4"):
         return False
     if np.dtype(cfg.dtype) == np.float64:
+        return False
+    if cfg.pad_policy == "strict":
+        # Fall to the vmapped 2-D path, which enforces the divisibility
+        # contract per example.
         return False
     m = a.shape[2] if cfg.transpose_a else a.shape[1]
     n = b.shape[1] if cfg.transpose_b else b.shape[2]
@@ -334,9 +340,11 @@ def matmul(
     sr = get_semiring(semiring)
     auto_config = config is None
     if a.ndim > 3 or b.ndim > 3:
-        # N-D batching (jnp.matmul-style): flatten identical leading batch
-        # dims to one axis, run the 3-D path, restore.  A 2-D operand
-        # broadcasts across the whole batch.
+        # N-D batching: both operands must carry IDENTICAL leading batch
+        # dims (no NumPy-style broadcasting of unequal batch dims), or one
+        # operand may be 2-D (broadcast across the whole batch).  Leading
+        # dims are flattened to one axis, the 3-D path runs, and the shape
+        # is restored.
         lead_a = a.shape[:-2] if a.ndim > 2 else ()
         lead_b = b.shape[:-2] if b.ndim > 2 else ()
         if lead_a and lead_b and lead_a != lead_b:
@@ -353,6 +361,18 @@ def matmul(
                      epilogue=epilogue, epilogue_operands=epilogue_operands)
         return out.reshape(lead + out.shape[-2:])
     if a.ndim == 3 or b.ndim == 3:
+        bsz = a.shape[0] if a.ndim == 3 else b.shape[0]
+        if bsz == 0:
+            # Empty batch: neither vmap-of-pallas nor the batched kernel
+            # can slice a zero-size operand — return the empty result.
+            ta_ = config.transpose_a if config else bool(transpose_a)
+            tb_ = config.transpose_b if config else bool(transpose_b)
+            a2, b2 = a.shape[-2:], b.shape[-2:]
+            m_e = a2[1] if ta_ else a2[0]
+            n_e = b2[0] if tb_ else b2[1]
+            od = (jnp.dtype(out_dtype) if out_dtype is not None
+                  else (config.jout_dtype if config else a.dtype))
+            return jnp.zeros((0, m_e, n_e), od)
         if a.ndim == 3 and b.ndim == 3:
             bcfg = config or default_config(str(a.dtype), semiring=sr.name)
             overrides = {}

@@ -282,7 +282,15 @@ def _run_one_inner(cfg: GemmConfig, m: int, n: int, k: int, *,
     if sr.is_mxu:
         try:
             from gemm_hls_tpu.models.perf_model import detect_chip
-            ceiling = detect_chip().peak_for(cfg.dtype) or None
+            chip = detect_chip()
+            if cfg.precision in ("i8x2", "i8x3", "i8x4", "default"):
+                # Precision tiers run on faster engines than the operand
+                # dtype's own pass (fp32 i8x2 legitimately sustains ~100 TF
+                # against a 49 TF fp32 peak on v5e) — bound by the int8
+                # engine rate, the fastest any tier can touch.
+                ceiling = chip.peak_for("int8") or None
+            else:
+                ceiling = chip.peak_for(cfg.dtype) or None
         except Exception:  # noqa: BLE001 — unknown chip/dtype: no ceiling
             ceiling = None
     try:

@@ -87,6 +87,32 @@ def time_fn(fn: Callable, args_sets: Sequence[Tuple], *, iters: int = 10,
     return max(slopes[1], 1e-9)
 
 
+def interleaved_medians(fns: Sequence[Callable], args: Tuple, flops: float,
+                        peak_gflops: Optional[float], *, rounds: int = 3,
+                        iters: int = 6) -> list:
+    """Median GFLOP/s per fn over ``rounds`` interleaved measurements.
+
+    The comparison protocol shared by the benchmark suites: candidates are
+    measured back-to-back within each round (cancels relay/clock drift
+    between them), readings above ``peak_gflops`` are re-measured once and
+    dropped if still impossible (transport hiccups), and the published
+    value per fn is the median of its surviving rounds.  Raises
+    RuntimeError if any fn ends up with no sane reading.
+    """
+    samples: list = [[] for _ in fns]
+    for _ in range(max(1, rounds)):
+        for fn, out in zip(fns, samples):
+            gf = flops / time_fn(fn, [args], iters=iters) / 1e9
+            if peak_gflops and gf > peak_gflops:
+                gf = flops / time_fn(fn, [args], iters=iters) / 1e9
+            if not peak_gflops or gf <= peak_gflops:
+                out.append(gf)
+    if any(not s for s in samples):
+        raise RuntimeError(
+            "no physically possible reading after retries (relay hiccup)")
+    return [sorted(s)[len(s) // 2] for s in samples]
+
+
 def gflops(m: int, n: int, k: int, seconds: float) -> float:
     """GOp/s = 1e-9 * 2*M*N*K / t (``host/RunHardware.cpp:174-180``)."""
     return 2.0 * m * n * k / seconds / 1e9

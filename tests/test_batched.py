@@ -147,3 +147,31 @@ def test_nd_batching_flattens_leading_dims():
 
     with pytest.raises(ValueError, match="batch dims"):
         matmul(a, jnp.zeros((5, 8, 24), jnp.float32))
+
+
+def test_zero_batch_returns_empty():
+    a = jnp.zeros((0, 16, 8), jnp.float32)
+    b = jnp.zeros((0, 8, 24), jnp.float32)
+    out = matmul(a, b)
+    assert out.shape == (0, 16, 24)
+
+
+def test_precision_tier_sweep_not_misclassified(monkeypatch):
+    """A precision tier running on a faster engine than the operand
+    dtype's own pass must not be classified unreliable_timing (its
+    ceiling is the int8 engine rate, not peak_for(dtype))."""
+    from gemm_hls_tpu.models import perf_model
+    from gemm_hls_tpu.tools.sweep import run_one
+
+    class Chip:
+        name = "fake"
+
+        def peak_for(self, dtype):
+            # fp32 "peak" far below what the int8 engine sustains.
+            return 1.0 if dtype == "float32" else 1e18
+
+    monkeypatch.setattr(perf_model, "detect_chip", lambda: Chip())
+    cfg = GemmConfig(dtype="float32", precision="default", interpret=True,
+                     block_m=16, block_n=128, block_k=64)
+    res = run_one(cfg, 32, 128, 64, iters=1, verify=False)
+    assert res.status == "ok"

@@ -83,3 +83,28 @@ def test_print_specifications_cli(capsys):
     spec2 = print_specs_main(["512", "512", "512", "--semiring", "min_plus",
                               "--chip", "v5e"])
     assert spec2["peak_flops"] < spec["peak_flops"]
+
+
+def test_interleaved_medians_protocol(monkeypatch):
+    """Shared suite protocol: interleaved rounds, peak-sanity re-measure
+    then drop, medians per fn, error when nothing sane survives."""
+    from gemm_hls_tpu.utils import benchmark as bm
+
+    flops = 1e9
+    # Sequence of per-call seconds: fn0 alternates sane readings, fn1 has
+    # one impossible (too-fast) reading that stays impossible on retry.
+    times = iter([1.0, 1.0,          # round 1: fn0 sane, fn1 sane
+                  2.0, 1e-6, 1e-6,   # round 2: fn0 sane, fn1 hiccups twice
+                  1.0, 1.0])         # round 3
+    monkeypatch.setattr(bm, "time_fn", lambda *a, **k: next(times))
+    med0, med1 = bm.interleaved_medians(
+        (object(), object()), (None,), flops, peak_gflops=10.0)
+    assert med0 == flops / 1.0 / 1e9   # median of [1, 0.5, 1] GF readings
+    assert med1 == flops / 1.0 / 1e9   # hiccup round dropped
+
+    always_fast = iter([1e-9] * 12)
+    monkeypatch.setattr(bm, "time_fn", lambda *a, **k: next(always_fast))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="physically possible"):
+        bm.interleaved_medians((object(),), (None,), flops,
+                               peak_gflops=10.0)

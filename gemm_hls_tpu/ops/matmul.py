@@ -165,7 +165,7 @@ def _batched_fast_path_ok(a, b, cfg: GemmConfig, sr: Semiring,
         return False
     if a.shape[0] == 0:
         return False  # empty batch: vmap returns the empty result
-    if not sr.is_mxu or epilogue is not None:
+    if not sr.is_mxu:
         return False
     if backend not in (None, "pallas"):
         return False
@@ -187,21 +187,113 @@ def _batched_fast_path_ok(a, b, cfg: GemmConfig, sr: Semiring,
     return per_ex * 2 <= cfg.vmem_limit_bytes * 0.6
 
 
-def _mxu_with_epilogue(a, b, cfg: GemmConfig, epilogue, ep_operands):
-    """Forward-only MXU matmul with a fused output epilogue."""
-    interpret = _resolve_interpret(cfg)
-    ta, tb = cfg.transpose_a, cfg.transpose_b
-    n = b.shape[0] if tb else b.shape[1]
+# ---------------------------------------------------------------------------
+# Differentiable fused-epilogue paths.  The forward fuses the epilogue into
+# the kernel's store (one HBM round trip of C saved); the backward recovers
+# the *accumulator* cotangent dacc from the output cotangent g, then reuses
+# the plain paths' flag algebra for da/db.  Two ways to get dacc:
+#
+#   * ``epilogue_bwd(y, g, *eps) -> (dacc, *deps)`` — caller-supplied,
+#     computed from the saved output y (no recompute; this is how
+#     ``ops/fused_linear.py`` specializes relu/sigmoid/tanh, whose
+#     derivatives are recoverable from the output).
+#   * default — recompute the accumulator with one extra (unfused) GEMM and
+#     pull g back through ``jax.vjp`` of the epilogue function.
+#
+# The epilogue must be elementwise/broadcast over the accumulator (the same
+# contract fusion itself requires), so applying it to the whole array in the
+# backward is exactly the blockwise forward semantics.
+# ---------------------------------------------------------------------------
+
+def _epilogue_cotangents(epilogue, epilogue_bwd, y, g, eps, recompute_acc):
+    if epilogue_bwd is not None:
+        out = epilogue_bwd(y, g, *eps)
+        return out[0], tuple(out[1:])
+    acc = recompute_acc()
+    yv, pull = jax.vjp(lambda A, *E: epilogue(A, *E), acc, *eps)
+    dacc, *deps = pull(g.astype(yv.dtype))
+    return dacc, tuple(deps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _mxu_epilogue(a, b, eps, cfg: GemmConfig, epilogue, epilogue_bwd):
+    return pallas_mxu.mxu_matmul(
+        a, b, *eps, cfg=cfg, transpose_a=cfg.transpose_a,
+        transpose_b=cfg.transpose_b, interpret=_resolve_interpret(cfg),
+        epilogue=epilogue)
+
+
+def _mxu_epilogue_fwd(a, b, eps, cfg, epilogue, epilogue_bwd):
+    y = _mxu_epilogue(a, b, eps, cfg, epilogue, epilogue_bwd)
+    return y, (a, b, eps, y)
+
+
+def _mxu_epilogue_bwd(cfg, epilogue, epilogue_bwd, res, g):
+    a, b, eps, y = res
+
+    def recompute_acc():
+        return _mxu_padded_fwd_impl(a, b, cfg.replace(out_dtype=cfg.acc_dtype))
+
+    dacc, deps = _epilogue_cotangents(epilogue, epilogue_bwd, y, g, eps,
+                                      recompute_acc)
+    da, db = _mxu_bwd(cfg, (a, b), dacc)
+    return da, db, tuple(d.astype(e.dtype) for d, e in zip(deps, eps))
+
+
+_mxu_epilogue.defvjp(_mxu_epilogue_fwd, _mxu_epilogue_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _mxu_batched_epilogue(a, b, eps, cfg: GemmConfig, epilogue, epilogue_bwd):
+    return pallas_mxu.mxu_matmul_batched(
+        a, b, *eps, cfg=cfg, transpose_a=cfg.transpose_a,
+        transpose_b=cfg.transpose_b, interpret=_resolve_interpret(cfg),
+        epilogue=epilogue)
+
+
+def _mxu_batched_epilogue_fwd(a, b, eps, cfg, epilogue, epilogue_bwd):
+    y = _mxu_batched_epilogue(a, b, eps, cfg, epilogue, epilogue_bwd)
+    return y, (a, b, eps, y)
+
+
+def _mxu_batched_epilogue_bwd(cfg, epilogue, epilogue_bwd, res, g):
+    a, b, eps, y = res
+
+    def recompute_acc():
+        return pallas_mxu.mxu_matmul_batched(
+            a, b, cfg=cfg.replace(out_dtype=cfg.acc_dtype),
+            transpose_a=cfg.transpose_a, transpose_b=cfg.transpose_b,
+            interpret=_resolve_interpret(cfg))
+
+    dacc, deps = _epilogue_cotangents(epilogue, epilogue_bwd, y, g, eps,
+                                      recompute_acc)
+    da, db = _mxu_batched_bwd(cfg, (a, b), dacc)
+    return da, db, tuple(d.astype(e.dtype) for d, e in zip(deps, eps))
+
+
+_mxu_batched_epilogue.defvjp(_mxu_batched_epilogue_fwd,
+                             _mxu_batched_epilogue_bwd)
+
+
+def _check_ep_operands(b, cfg, ep_operands):
+    n = b.shape[-2] if cfg.transpose_b else b.shape[-1]
     eps = []
     for ep in ep_operands:
         if ep.ndim != 1 or ep.shape[0] != n:
             raise ValueError(f"epilogue operands must be (N,)=({n},), "
                              f"got {ep.shape}")
         eps.append(ep.reshape(1, n))
-    return pallas_mxu.mxu_matmul(
-        a, b, *eps, cfg=cfg, transpose_a=ta, transpose_b=tb,
-        interpret=interpret, epilogue=epilogue,
-    )
+    return tuple(eps)
+
+
+def _mxu_with_epilogue(a, b, cfg: GemmConfig, epilogue, ep_operands,
+                       epilogue_bwd=None):
+    """Differentiable MXU matmul with a fused output epilogue."""
+    if cfg.precision in ("i8x2", "i8x3", "i8x4"):
+        raise ValueError("epilogue fusion is not supported with the "
+                         "int8-slice precision tiers")
+    eps = _check_ep_operands(b, cfg, ep_operands)
+    return _mxu_epilogue(a, b, eps, cfg, epilogue, epilogue_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -312,6 +404,7 @@ def matmul(
     precision: Optional[str] = None,
     epilogue=None,
     epilogue_operands=(),
+    epilogue_bwd=None,
 ):
     """Communication-avoiding semiring matmul: C = reduce_k map(op(A), op(B)).
 
@@ -330,10 +423,19 @@ def matmul(
         (plus_times only): ``epilogue(acc_f32, *operand_blocks) -> array`` —
         e.g. ``lambda acc, bias: jax.nn.relu(acc + bias)``. Saves a full
         HBM round trip of C versus a separate elementwise pass. The fused
-        path is forward-only (no custom VJP); must be a module-level
+        path is differentiable: the backward recomputes the accumulator
+        and pulls the cotangent back through ``jax.vjp`` of the epilogue
+        (or uses ``epilogue_bwd`` to skip the recompute). Must be
+        elementwise/broadcast over the accumulator, and a module-level
         function or cached partial to avoid jit-cache misses.
       epilogue_operands: per-output-column arrays of shape (N,) (e.g. a
         bias), passed to ``epilogue`` as (1, block_n) blocks.
+      epilogue_bwd: optional ``(y, g, *eps) -> (dacc, *deps)`` computing
+        the accumulator cotangent and per-operand cotangents from the
+        saved *output* — supply when the epilogue's derivative is
+        recoverable from y (relu/sigmoid/tanh) to avoid the backward's
+        accumulator-recompute GEMM (``ops/fused_linear.py`` does this).
+        ``eps``/``deps`` are the (1, N)-reshaped operands.
 
     Returns (M, N) in ``config.out_dtype``.
     """
@@ -358,18 +460,34 @@ def matmul(
                      transpose_a=transpose_a, transpose_b=transpose_b,
                      out_dtype=out_dtype, backend=backend,
                      interpret=interpret, precision=precision,
-                     epilogue=epilogue, epilogue_operands=epilogue_operands)
+                     epilogue=epilogue, epilogue_operands=epilogue_operands,
+                     epilogue_bwd=epilogue_bwd)
         return out.reshape(lead + out.shape[-2:])
     if a.ndim == 3 or b.ndim == 3:
         bsz = a.shape[0] if a.ndim == 3 else b.shape[0]
         if bsz == 0:
             # Empty batch: neither vmap-of-pallas nor the batched kernel
             # can slice a zero-size operand — return the empty result.
+            # Same error surface as the non-empty path: shape/dtype/
+            # semiring violations raise rather than silently yield zeros.
+            if a.ndim == 3 and b.ndim == 3 and a.shape[0] != b.shape[0]:
+                raise ValueError(
+                    f"batch dims must match: {a.shape} x {b.shape}")
+            if a.dtype != b.dtype:
+                raise ValueError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
+            if not sr.supports_dtype(a.dtype):
+                raise ValueError(
+                    f"semiring {sr.name} does not support dtype {a.dtype}")
             ta_ = config.transpose_a if config else bool(transpose_a)
             tb_ = config.transpose_b if config else bool(transpose_b)
             a2, b2 = a.shape[-2:], b.shape[-2:]
             m_e = a2[1] if ta_ else a2[0]
             n_e = b2[0] if tb_ else b2[1]
+            ka_ = a2[0] if ta_ else a2[1]
+            kb_ = b2[1] if tb_ else b2[0]
+            if ka_ != kb_:
+                raise ValueError(
+                    f"contraction mismatch: {a.shape} x {b.shape}")
             od = (jnp.dtype(out_dtype) if out_dtype is not None
                   else (config.jout_dtype if config else a.dtype))
             return jnp.zeros((0, m_e, n_e), od)
@@ -393,13 +511,19 @@ def matmul(
             if (a.dtype == b.dtype and sr.supports_dtype(a.dtype)
                     and _batched_fast_path_ok(a, b, bcfg, sr, backend,
                                               epilogue)):
+                if epilogue is not None:
+                    eps = _check_ep_operands(b, bcfg,
+                                             tuple(epilogue_operands))
+                    return _mxu_batched_epilogue(a, b, eps, bcfg, epilogue,
+                                                 epilogue_bwd)
                 return _mxu_batched(a, b, bcfg)
         # General batched GEMM: vmap over the leading axis (a 2-D operand
         # is broadcast across the batch).
         kw = dict(semiring=semiring, config=config, transpose_a=transpose_a,
                   transpose_b=transpose_b, out_dtype=out_dtype,
                   backend=backend, interpret=interpret, precision=precision,
-                  epilogue=epilogue, epilogue_operands=epilogue_operands)
+                  epilogue=epilogue, epilogue_operands=epilogue_operands,
+                  epilogue_bwd=epilogue_bwd)
         in_axes = (0 if a.ndim == 3 else None, 0 if b.ndim == 3 else None)
         return jax.vmap(lambda x, y: matmul(x, y, **kw), in_axes=in_axes)(a, b)
     if a.ndim != 2 or b.ndim != 2:
@@ -492,7 +616,8 @@ def matmul(
             raise ValueError("epilogue fusion requires the plus_times "
                              "semiring on the pallas backend")
         return _mxu_with_epilogue(a, b, config, epilogue,
-                                  tuple(epilogue_operands))
+                                  tuple(epilogue_operands),
+                                  epilogue_bwd=epilogue_bwd)
     if backend == "xla":
         return _xla_matmul(a, b, config, sr)
     if backend != "pallas":

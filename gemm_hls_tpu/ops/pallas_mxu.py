@@ -140,29 +140,60 @@ def _kernel(a_ref, b_ref, *refs, n_k_grid, dims, precision,
         emit(acc_ref[:])
 
 
-def _batched_kernel(a_ref, b_ref, o_ref, *, dims, precision, out_dtype,
-                    acc_dtype):
+def _batched_kernel(a_ref, b_ref, *refs, dims, precision, out_dtype,
+                    acc_dtype, epilogue=None):
     """One grid step = a whole batch-block of examples: a single batched
     ``dot_general`` over the (batch_block, m, k) x (batch_block, k, n)
     VMEM blocks.  Amortizes the per-grid-step scheduling latch (~220 ns on
     v5e) over the whole block — a vmapped 2-D kernel pays it per example,
     which dominates at small per-example sizes (measured 13 TF for
-    256x(128^3) via vmap vs the latch-amortized batched grid)."""
+    256x(128^3) via vmap vs the latch-amortized batched grid).
+
+    ``refs`` = (*epilogue_operand_refs, o_ref): like the 2-D kernel, an
+    optional fused epilogue transforms the accumulator before the store.
+    Mosaic's compiler aborts on a smaller-than-output operand block (the
+    (1, n) bias) coexisting with a *batched* dot_general in one kernel
+    (verified on v5e: ``Check failed: limits[i] <= dim(i)``), so the
+    epilogue variant runs an in-kernel loop of per-example 2-D dots
+    instead — still one grid step per batch-block (the scheduling latch
+    is per grid step, not per dot), and the epilogue sees exactly the 2-D
+    kernel's contract: an (m, n) accumulator and (1, n) operand blocks.
+    Since N is un-gridded here, even row-wise epilogues (softmax over
+    attention scores) are expressible.  This closes the thin-K
+    attention-scores gap: XLA wins that shape by fusing the consumer into
+    the dot; the fused epilogue recovers the elided C round trip."""
+    *ep_refs, o_ref = refs
     (ac, bc) = dims
-    o_ref[:] = jax.lax.dot_general(
-        a_ref[:], b_ref[:],
-        dimension_numbers=(((ac,), (bc,)), ((0,), (0,))),
-        preferred_element_type=acc_dtype,
-        precision=precision,
-    ).astype(out_dtype)
+    if epilogue is None:
+        o_ref[:] = jax.lax.dot_general(
+            a_ref[:], b_ref[:],
+            dimension_numbers=(((ac,), (bc,)), ((0,), (0,))),
+            preferred_element_type=acc_dtype,
+            precision=precision,
+        ).astype(out_dtype)
+        return
+
+    ep_vals = tuple(r[:] for r in ep_refs)
+
+    def body(i, carry):
+        acc = jax.lax.dot_general(
+            a_ref[i], b_ref[i],
+            dimension_numbers=(((ac - 1,), (bc - 1,)), ((), ())),
+            preferred_element_type=acc_dtype,
+            precision=precision,
+        )
+        o_ref[i] = epilogue(acc, *ep_vals).astype(out_dtype)
+        return carry
+
+    jax.lax.fori_loop(0, a_ref.shape[0], body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "transpose_a",
                                              "transpose_b", "interpret",
-                                             "batch_block"))
-def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
-                       transpose_b=False, interpret=False,
-                       batch_block=None):
+                                             "batch_block", "epilogue"))
+def mxu_matmul_batched(a, b, *ep_operands, cfg: GemmConfig,
+                       transpose_a=False, transpose_b=False,
+                       interpret=False, batch_block=None, epilogue=None):
     """Batched plus-times matmul: (B, M, K) x (B, K, N) -> (B, M, N).
 
     For per-example problems small enough that each (M, K)/(K, N) operand
@@ -174,6 +205,10 @@ def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
     With ``transpose_a`` each example of ``a`` is (K, M); with
     ``transpose_b`` each example of ``b`` is (N, K) — handled by dot
     dimension numbers, no materialized transpose.
+
+    ``ep_operands`` are (1, N) arrays fed to the optional fused
+    ``epilogue`` (same contract as :func:`mxu_matmul`), applied to the
+    (batch_block, m, n) accumulator before the store.
     """
     bsz = a.shape[0]
     if transpose_a:
@@ -190,6 +225,11 @@ def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
         b_contract = 1
     if kb != k_dim or b.shape[0] != bsz:
         raise ValueError(f"batched shape mismatch: {a.shape} x {b.shape}")
+    for ep in ep_operands:
+        if ep.shape != (1, n):
+            raise ValueError(
+                f"epilogue operands must be shaped (1, N)=(1,{n}), "
+                f"got {ep.shape}")
 
     # Whole examples per block; batch-block sized to a fixed per-step DMA
     # quantum (~8 MB of operands+output), NOT to fill VMEM: measured at
@@ -197,9 +237,14 @@ def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
     # runs 104 TF — small steps leave room for Mosaic's multi-buffering
     # and pipeline DMA against the MXU; bb=2 (grid-latch-bound) collapses
     # to 59 TF.  A secondary VMEM cap guards big examples.
-    in_b = jnp.dtype(cfg.dtype).itemsize
+    # Per-example bytes from the *actual* operand dtypes, not cfg.dtype:
+    # the backward pass feeds an f32 cotangent against a bf16 saved
+    # operand, and sizing from cfg.dtype alone would undercount by 2x and
+    # overshoot the VMEM budget near the routing threshold.
+    a_b = jnp.dtype(a.dtype).itemsize
+    b_b = jnp.dtype(b.dtype).itemsize
     out_b = jnp.dtype(cfg.jout_dtype).itemsize
-    bytes_ex = (m * k_dim + k_dim * n) * in_b + m * n * out_b
+    bytes_ex = m * k_dim * a_b + k_dim * n * b_b + m * n * out_b
     if batch_block is not None:
         bb = max(1, min(bsz, batch_block))
     else:
@@ -214,6 +259,7 @@ def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
         precision=_resolve_precision(cfg),
         out_dtype=cfg.jout_dtype,
         acc_dtype=cfg.jacc_dtype,
+        epilogue=epilogue,
     )
     kwargs = {}
     if not interpret:
@@ -223,8 +269,7 @@ def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
         )
         kwargs["cost_estimate"] = pl.CostEstimate(
             flops=2 * bsz * m * n * k_dim,
-            bytes_accessed=(a.size + b.size) * in_b + bsz * m * n
-            * jnp.dtype(cfg.jout_dtype).itemsize,
+            bytes_accessed=a.size * a_b + b.size * b_b + bsz * m * n * out_b,
             transcendentals=0,
         )
     return pl.pallas_call(
@@ -235,6 +280,9 @@ def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb,) + b.shape[1:], lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, n), lambda p: (0, 0), memory_space=pltpu.VMEM)
+            for _ in ep_operands
         ],
         out_specs=pl.BlockSpec((bb, m, n), lambda p: (p, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -242,7 +290,7 @@ def mxu_matmul_batched(a, b, *, cfg: GemmConfig, transpose_a=False,
         interpret=interpret,
         name=f"ca_gemm_mxu_batched_{bb}x{m}x{n}x{k_dim}",
         **kwargs,
-    )(a, b)
+    )(a, b, *ep_operands)
 
 
 @functools.partial(

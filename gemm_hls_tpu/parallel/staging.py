@@ -28,6 +28,34 @@ from gemm_hls_tpu.ops.matmul import matmul
 from gemm_hls_tpu.ops.semiring import get_semiring
 
 
+def _device_bytes_limit(device) -> int:
+    """Device memory budget in bytes (HBM), best-effort."""
+    try:
+        stats = device.memory_stats()
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            return int(limit)
+    except Exception:  # noqa: BLE001 — CPU/interpret devices lack stats
+        pass
+    return 16 * 1024**3
+
+
+def _prefetch_fits(panel_bytes: int, acc_bytes: int, device,
+                   depth: int = 2) -> bool:
+    """Whether double-buffered staging fits the device memory budget.
+
+    Prefetch keeps up to ``depth`` staged panel pairs resident *in
+    addition to* the pair being consumed and the accumulator — roughly
+    ``(depth + 1) x`` the sequential path's panel residency.  These
+    streamed paths exist precisely for problems sized near/over HBM, so a
+    workload that fits under sequential staging must not OOM because
+    prefetch tripled its panel footprint; fall back to sequential staging
+    when the prefetched residency would exceed ~60% of device memory.
+    """
+    resident = (depth + 1) * panel_bytes + acc_bytes
+    return resident <= 0.6 * _device_bytes_limit(device)
+
+
 def _prefetched(jobs, stage, *, depth: int = 2, enabled: bool = True):
     """Yield ``(job, stage(job))`` with up to ``depth`` stages in flight.
 
@@ -38,6 +66,10 @@ def _prefetched(jobs, stage, *, depth: int = 2, enabled: bool = True):
     buffer s drains.  ``depth=2`` = classic double buffering (one panel
     computing, one staging).  JAX dispatch is thread-safe; transfers are
     async, so the worker only pays the host-side slice/pin cost.
+
+    Callers gate ``enabled`` through :func:`_prefetch_fits` so the extra
+    ``depth`` panels of device residency can't push a
+    fits-under-sequential workload over HBM.
     """
     jobs = list(jobs)
     if not enabled or len(jobs) <= 1:
@@ -98,6 +130,11 @@ def streamed_matmul_files(a_file, b_file, c_file, *, semiring="plus_times",
         k0, k1 = kk * tile_k, min(k, (kk + 1) * tile_k)
         return (jax.device_put(a_file.read_tile(i0, i1, k0, k1), device),
                 jax.device_put(b_file.read_tile(k0, k1, j0, j1), device))
+
+    in_b = np.dtype(str(a_file.dtype)).itemsize
+    panel_bytes = (min(tile_m, m) + min(tile_n, n)) * min(tile_k, k) * in_b
+    acc_bytes = min(tile_m, m) * min(tile_n, n) * acc_dtype.itemsize
+    prefetch = prefetch and _prefetch_fits(panel_bytes, acc_bytes, device)
 
     acc = None
     for (i0, j0, kk), (a_panel, b_panel) in _prefetched(
@@ -244,6 +281,11 @@ def streamed_matmul(a: np.ndarray, b: np.ndarray, *, semiring="plus_times",
         k0, k1 = kk * tile_k, min(k, (kk + 1) * tile_k)
         return (jax.device_put(np.ascontiguousarray(a[i0:i1, k0:k1]), device),
                 jax.device_put(np.ascontiguousarray(b[k0:k1, j0:j1]), device))
+
+    in_b = a.dtype.itemsize
+    panel_bytes = (min(tile_m, m) + min(tile_n, n)) * min(tile_k, k) * in_b
+    acc_bytes = min(tile_m, m) * min(tile_n, n) * acc_dtype.itemsize
+    prefetch = prefetch and _prefetch_fits(panel_bytes, acc_bytes, device)
 
     acc = None
     for (i0, j0, kk), (a_panel, b_panel) in _prefetched(

@@ -182,6 +182,43 @@ def main(argv=None):
         return err < 1e-3, err
     check("fused bias+relu epilogue", epilogue_check)
 
+    def batched_epilogue_grad_check():
+        # Batched fast path with a fused epilogue, differentiated — the
+        # compiled path behind the attention-scores example.
+        rng = np.random.default_rng(7)
+        a = jnp.asarray(rng.uniform(-1, 1, (8, 128, 64)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(-1, 1, (8, 64, 128)).astype(np.float32))
+        bias = jnp.asarray(np.linspace(-0.5, 0.5, 128).astype(np.float32))
+        ga = jax.grad(lambda x: jnp.sum(matmul(
+            x, b, epilogue=_bias_relu, epilogue_operands=(bias,)) ** 2))(a)
+        hi = jax.lax.Precision.HIGHEST
+        ra = jax.grad(lambda x: jnp.sum(jax.nn.relu(
+            jax.lax.dot_general(x, b, (((2,), (1,)), ((0,), (0,))),
+                                precision=hi) + bias) ** 2))(a)
+        ra = np.asarray(ra, np.float64)
+        err = float((np.abs(np.asarray(ga) - ra)
+                     / np.maximum(np.abs(ra).max() * 1e-2, np.abs(ra))).max())
+        return err < 1e-3, err
+    check("batched fused-epilogue gradient", batched_epilogue_grad_check)
+
+    def batched_bf16_grad_check():
+        # bf16 batched backward: the cotangent arrives f32 against bf16
+        # saved operands — exercises the mixed-dtype batch_block sizing.
+        rng = np.random.default_rng(8)
+        a = jnp.asarray(rng.uniform(-1, 1, (8, 128, 64))).astype(jnp.bfloat16)
+        b = jnp.asarray(rng.uniform(-1, 1, (8, 64, 128))).astype(jnp.bfloat16)
+        ga = jax.grad(lambda x: jnp.sum(matmul(
+            x, b, out_dtype="float32") ** 2))(a)
+        hi = jax.lax.Precision.HIGHEST
+        ra = jax.grad(lambda x: jnp.sum(jax.lax.dot_general(
+            x, b, (((2,), (1,)), ((0,), (0,))), precision=hi,
+            preferred_element_type=jnp.float32) ** 2))(a)
+        ra = np.asarray(ra.astype(jnp.float32), np.float64)
+        err = float((np.abs(np.asarray(ga.astype(jnp.float32)) - ra)
+                     / np.maximum(np.abs(ra).max() * 1e-1, np.abs(ra))).max())
+        return err < 5e-2, err
+    check("bf16 batched gradient (mixed-dtype bwd)", batched_bf16_grad_check)
+
     n_pass = sum(results)
     print(f"{n_pass}/{len(results)} checks passed")
     return 0 if n_pass == len(results) else 1

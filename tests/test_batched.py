@@ -156,6 +156,21 @@ def test_zero_batch_returns_empty():
     assert out.shape == (0, 16, 24)
 
 
+def test_zero_batch_validates_like_nonempty():
+    # The empty-batch early return must present the same error surface as
+    # the non-empty path instead of silently returning zeros.
+    a = jnp.zeros((0, 16, 8), jnp.float32)
+    with pytest.raises(ValueError, match="batch dims"):
+        matmul(a, jnp.zeros((5, 8, 24), jnp.float32))
+    with pytest.raises(ValueError, match="contraction mismatch"):
+        matmul(a, jnp.zeros((0, 9, 24), jnp.float32))
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        matmul(a, jnp.zeros((0, 8, 24), jnp.bfloat16))
+    with pytest.raises(ValueError, match="does not support"):
+        matmul(jnp.zeros((0, 16, 8), bool), jnp.zeros((0, 8, 24), bool),
+               semiring="min_plus")
+
+
 def test_precision_tier_sweep_not_misclassified(monkeypatch):
     """A precision tier running on a faster engine than the operand
     dtype's own pass must not be classified unreliable_timing (its

@@ -142,6 +142,25 @@ def test_prefetched_helper_order_and_depth():
     assert calls == jobs  # staged in order, each exactly once
 
 
+def test_prefetch_residency_cap():
+    # Prefetch triples panel residency; near-HBM-sized panels must fall
+    # back to sequential staging rather than OOM.
+    from gemm_hls_tpu.parallel.staging import _prefetch_fits
+
+    class Dev:
+        def memory_stats(self):
+            return {"bytes_limit": 1000}
+
+    assert _prefetch_fits(100, 100, Dev())          # 400 <= 600
+    assert not _prefetch_fits(300, 100, Dev())      # 1000 > 600
+
+    class NoStats:
+        def memory_stats(self):
+            raise RuntimeError("unsupported")
+
+    assert _prefetch_fits(1 << 30, 1 << 28, NoStats())  # 16 GiB default
+
+
 def test_streamed_matmul_min_plus():
     a, b = make_operands(48, 40, 56, "float32")
     exp = reference_matmul(a, b, semiring="min_plus")

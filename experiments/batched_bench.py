@@ -58,6 +58,68 @@ def main():
                   ratio=round(gf_p / gf_x, 3)))
         print(f"{label:38s}: pallas {gf_p/1e3:6.1f} TF  xla {gf_x/1e3:6.1f} "
               f"TF  ratio {gf_p/gf_x:.3f}", flush=True)
+
+    # Consumer-matched thin-K scores: both sides compute and materialize
+    # softmax(q.k^T/sqrt(d)) — XLA fuses the softmax into its dot (this is
+    # how it beats the write-included roofline on the bare GEMM); our side
+    # fuses it as the batched kernel's epilogue.  FLOP count is the GEMM's
+    # (softmax flops excluded on both sides equally).
+    from gemm_hls_tpu.ops.attention import attention_scores
+
+    bsz, seq, hd = 32, 1024, 128
+    kq, kk = jax.random.split(jax.random.PRNGKey(7))
+    q = jax.random.uniform(kq, (bsz, seq, hd), jnp.bfloat16, -1, 1)
+    kmat = jax.random.uniform(kk, (bsz, seq, hd), jnp.bfloat16, -1, 1)
+    jax.block_until_ready((q, kmat))
+    flops = 2 * bsz * seq * seq * hd
+    scale = 1.0 / float(jnp.sqrt(jnp.float32(hd)))
+    ours = jax.jit(lambda x, y: attention_scores(x, y))
+    xla = jax.jit(lambda x, y: jax.nn.softmax(
+        jnp.einsum("bqd,bkd->bqk", x, y) * scale, axis=-1).astype(x.dtype))
+    gf_p, gf_x = interleaved_medians((ours, xla), (q, kmat), flops, peak_gf,
+                                     iters=30)
+    label = "scores+softmax fused (32x1024^2x128)"
+    emit(dict(label=label, b=bsz, m=seq, n=seq, k=hd,
+              pallas_gflops=round(gf_p, 1), xla_gflops=round(gf_x, 1),
+              ratio=round(gf_p / gf_x, 3)))
+    print(f"{label:38s}: pallas {gf_p/1e3:6.1f} TF  xla {gf_x/1e3:6.1f} "
+          f"TF  ratio {gf_p/gf_x:.3f}", flush=True)
+
+    # End-to-end attention: softmax(q.k^T/sqrt(d)).v — the consumer the
+    # scores actually feed.  Here nothing can be elided on either side
+    # (the (B,S,D) output is real), making this the robust consumer-
+    # matched comparison; the isolated scores row above is bounded by the
+    # write-included roofline and XLA's side of it swings with what the
+    # fusion elides.  Also measured: jax.nn.dot_product_attention (XLA
+    # composition on TPU).
+    from gemm_hls_tpu.ops.attention import attention
+
+    kv2 = jax.random.PRNGKey(11)
+    v = jax.random.uniform(kv2, (bsz, seq, hd), jnp.bfloat16, -1, 1)
+    jax.block_until_ready(v)
+    flops = 2 * 2 * bsz * seq * seq * hd
+
+    ours_attn = jax.jit(lambda q, k, v: attention(q, k, v))
+
+    def xla_comp(q, k, v):
+        s = jnp.einsum("bqd,bkd->bqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        return jnp.einsum("bqk,bkd->bqd",
+                          jax.nn.softmax(s, axis=-1).astype(q.dtype), v)
+
+    dpa = jax.jit(lambda q, k, v: jax.nn.dot_product_attention(
+        jnp.swapaxes(q, 0, 1)[None], jnp.swapaxes(k, 0, 1)[None],
+        jnp.swapaxes(v, 0, 1)[None])[0].swapaxes(0, 1))
+    gf_p, gf_x, gf_d = interleaved_medians(
+        (ours_attn, jax.jit(xla_comp), dpa), (q, kmat, v), flops, peak_gf,
+        iters=20)
+    label = "attention e2e (32 heads, 1024, hd=128)"
+    emit(dict(label=label, b=bsz, m=seq, n=seq, k=hd,
+              pallas_gflops=round(gf_p, 1), xla_gflops=round(gf_x, 1),
+              ratio=round(gf_p / gf_x, 3)))
+    print(f"{label:38s}: pallas {gf_p/1e3:6.1f} TF  xla {gf_x/1e3:6.1f} "
+          f"TF  ratio {gf_p/gf_x:.3f}  (dot_product_attention "
+          f"{gf_d/1e3:.1f} TF, ratio {gf_p/gf_d:.3f})", flush=True)
     print("wrote", out)
 
 

@@ -21,6 +21,7 @@ from gemm_hls_tpu.ops.semiring import (
     available_semirings,
 )
 from gemm_hls_tpu.ops.matmul import matmul
+from gemm_hls_tpu.ops.attention import attention, attention_scores
 
 __version__ = "0.1.0"
 
@@ -32,4 +33,6 @@ __all__ = [
     "register_semiring",
     "available_semirings",
     "matmul",
+    "attention",
+    "attention_scores",
 ]

@@ -1,0 +1,113 @@
+"""Fused per-head attention on the batched CA-GEMM kernel.
+
+The end-to-end showcase of the fused-epilogue machinery: the
+attention-scores shape (B=heads, M=N=seq, K=head_dim) is the thin-K GEMM
+where a *standalone* kernel loses to XLA — XLA fuses the softmax consumer
+into the dot and elides the scores' HBM round trip, beating the
+write-included roofline (docs/BENCHMARKS.md "thin-K baselines" caveat).
+The framework's answer is the same fusion on our side: the softmax runs
+as a fused epilogue inside the batched MXU kernel's store.  Row-wise
+reductions are legal there because the batched kernel leaves N
+un-gridded — each example's full score row is present in the block
+(``ops/pallas_mxu.py::_batched_kernel``).
+
+This generalizes the reference's writeback-stage fusion
+(``kernel/Memory.cpp:323-359``: dtype conversion fused into the C drain)
+to an arbitrary consumer, applied to the workload TPUs exist for.
+
+Numerics: scores accumulate in f32; the softmax runs in f32 inside the
+kernel; only the normalized probabilities are cast to the storage dtype.
+The max-subtraction makes the exp overflow-safe for any score magnitude.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gemm_hls_tpu.config import GemmConfig
+
+
+def _softmax_rows(acc):
+    """Row softmax over the last axis of the f32 accumulator block.
+
+    Used as a fused epilogue: valid only where the kernel block holds
+    complete rows (the batched kernel; N un-gridded).
+    """
+    m = jnp.max(acc, axis=-1, keepdims=True)
+    e = jnp.exp(acc - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def attention_scores(q, k, *, scale: Optional[float] = None,
+                     config: Optional[GemmConfig] = None,
+                     interpret: Optional[bool] = None):
+    """softmax(q . k^T * scale) per head, softmax fused into the kernel.
+
+    Args:
+      q: (B, S_q, D) per-head queries.
+      k: (B, S_k, D) per-head keys (contracted via ``transpose_b`` — no
+        materialized transpose).
+      scale: score scale; default 1/sqrt(D).
+
+    Returns (B, S_q, S_k) probabilities in q's dtype.
+
+    The scale is folded into q before the GEMM (one (B,S,D) elementwise
+    multiply that XLA fuses into the operand load) so the epilogue is
+    parameter-free.  Differentiable via the fused-epilogue custom VJP
+    (backward recomputes the scores accumulator and pulls the cotangent
+    through ``jax.vjp`` of the softmax).
+    """
+    from gemm_hls_tpu.ops.matmul import _batched_fast_path_ok, matmul
+    from gemm_hls_tpu.ops.semiring import get_semiring
+
+    if q.ndim != 3 or k.ndim != 3:
+        raise ValueError(f"attention_scores expects (B, S, D) operands, "
+                         f"got {q.shape} x {k.shape}")
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
+
+    # The row softmax is only a legal epilogue where the kernel block
+    # holds complete score rows — the batched kernel (N un-gridded).  If
+    # the per-example footprint would route to the vmapped 2-D kernel
+    # (N gridded), fuse nothing and softmax in XLA instead.
+    from gemm_hls_tpu.config import default_config
+
+    bcfg = (config or default_config(str(q.dtype))).replace(
+        dtype=str(q.dtype), transpose_b=True)
+    if interpret is not None:
+        bcfg = bcfg.replace(interpret=interpret)
+    sr = get_semiring("plus_times")
+    if _batched_fast_path_ok(qs, k, bcfg, sr, None, None):
+        return matmul(qs, k, transpose_b=True, config=config,
+                      interpret=interpret, epilogue=_softmax_rows)
+    scores = matmul(qs, k, transpose_b=True, config=config,
+                    interpret=interpret, out_dtype=jnp.float32)
+    return jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+
+
+def attention(q, k, v, *, scale: Optional[float] = None,
+              config: Optional[GemmConfig] = None,
+              interpret: Optional[bool] = None):
+    """Per-head attention: softmax(q . k^T * scale) . v, scores-softmax
+    fused into the first batched GEMM.
+
+    Args:
+      q: (B, S_q, D); k: (B, S_k, D); v: (B, S_k, D).
+
+    Returns (B, S_q, D) in q's dtype.
+
+    The probability matrix is materialized once in HBM between the two
+    GEMMs (this is fused-scores attention, not flash attention — the
+    O(S^2) residency bound still applies; for long sequences pair with
+    ``parallel/`` sharding over heads).
+    """
+    from gemm_hls_tpu.ops.matmul import matmul
+
+    p = attention_scores(q, k, scale=scale, config=config,
+                         interpret=interpret)
+    return matmul(p, v, config=config, interpret=interpret)

@@ -207,8 +207,15 @@ def mxu_matmul_batched(a, b, *ep_operands, cfg: GemmConfig,
     dimension numbers, no materialized transpose.
 
     ``ep_operands`` are (1, N) arrays fed to the optional fused
-    ``epilogue`` (same contract as :func:`mxu_matmul`), applied to the
-    (batch_block, m, n) accumulator before the store.
+    ``epilogue`` (same contract as :func:`mxu_matmul`), applied per
+    example to the (row_block, n) accumulator before the store.  The
+    epilogue path grids over (batch-blocks, row-tiles): rows stay whole
+    in N (row-wise epilogues like softmax are legal) while the row
+    tiling keeps blocks small enough for Mosaic to pipeline the output
+    writes — at 32x1024^2x128 bf16 (attention scores) the whole-example
+    variant measures 64-82 TF while (bb=1, bm=256) reaches ~88 TF,
+    within 3% of XLA's softmax-fused dot at the same consumer-matched
+    measurement.
     """
     bsz = a.shape[0]
     if transpose_a:
@@ -244,14 +251,22 @@ def mxu_matmul_batched(a, b, *ep_operands, cfg: GemmConfig,
     a_b = jnp.dtype(a.dtype).itemsize
     b_b = jnp.dtype(b.dtype).itemsize
     out_b = jnp.dtype(cfg.jout_dtype).itemsize
-    bytes_ex = m * k_dim * a_b + k_dim * n * b_b + m * n * out_b
+    # Row tile (epilogue path only): big examples run (bb=1, bm=256) so
+    # the dominant output write pipelines across many grid steps; small
+    # examples keep whole rows and amortize the grid latch via bb.
+    if epilogue is not None and m >= 512:
+        bm, bb_default = 256, 1
+    else:
+        bm, bb_default = m, None
+    bytes_ex = bm * k_dim * a_b + k_dim * n * b_b + bm * n * out_b
     if batch_block is not None:
         bb = max(1, min(bsz, batch_block))
+    elif bb_default is not None:
+        bb = bb_default
     else:
         bb_quantum = max(1, round(8 * 1024 * 1024 / max(bytes_ex, 1)))
         bb_vmem = max(1, int(cfg.vmem_limit_bytes // (3 * max(bytes_ex, 1))))
         bb = min(bsz, bb_quantum, bb_vmem)
-    grid = (pl.cdiv(bsz, bb),)
 
     kernel = functools.partial(
         _batched_kernel,
@@ -263,32 +278,66 @@ def mxu_matmul_batched(a, b, *ep_operands, cfg: GemmConfig,
     )
     kwargs = {}
     if not interpret:
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=cfg.vmem_limit_bytes,
-        )
         kwargs["cost_estimate"] = pl.CostEstimate(
             flops=2 * bsz * m * n * k_dim,
             bytes_accessed=a.size * a_b + b.size * b_b + bsz * m * n * out_b,
             transcendentals=0,
         )
+
+    if epilogue is None:
+        grid = (pl.cdiv(bsz, bb),)
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=cfg.vmem_limit_bytes,
+            )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bb,) + a.shape[1:], lambda p: (p, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb,) + b.shape[1:], lambda p: (p, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bb, m, n), lambda p: (p, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bsz, m, n), cfg.jout_dtype),
+            interpret=interpret,
+            name=f"ca_gemm_mxu_batched_{bb}x{m}x{n}x{k_dim}",
+            **kwargs,
+        )(a, b)
+
+    # Epilogue path: grid (batch-blocks, row-tiles); the in-kernel fori
+    # issues per-example 2-D dots (see _batched_kernel docstring for why
+    # the batched dot can't coexist with small ep operand blocks).
+    grid = (pl.cdiv(bsz, bb), pl.cdiv(m, bm))
+    if transpose_a:
+        a_block, a_index = (bb, k_dim, bm), (lambda p, r: (p, 0, r))
+    else:
+        a_block, a_index = (bb, bm, k_dim), (lambda p, r: (p, r, 0))
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb,) + a.shape[1:], lambda p: (p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb,) + b.shape[1:], lambda p: (p, 0, 0),
+            pl.BlockSpec(a_block, a_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb,) + b.shape[1:], lambda p, r: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, n), lambda p: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, n), lambda p, r: (0, 0),
+                         memory_space=pltpu.VMEM)
             for _ in ep_operands
         ],
-        out_specs=pl.BlockSpec((bb, m, n), lambda p: (p, 0, 0),
+        out_specs=pl.BlockSpec((bb, bm, n), lambda p, r: (p, r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, m, n), cfg.jout_dtype),
         interpret=interpret,
-        name=f"ca_gemm_mxu_batched_{bb}x{m}x{n}x{k_dim}",
+        name=f"ca_gemm_mxu_batched_ep_{bb}x{bm}x{n}x{k_dim}",
         **kwargs,
     )(a, b, *ep_operands)
 

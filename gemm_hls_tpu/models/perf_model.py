@@ -152,8 +152,35 @@ def available_chips():
     return sorted(_CHIPS)
 
 
+def _calibrated_spec(kind: str) -> Optional[ChipSpec]:
+    """ChipSpec for an unknown generation, built from a persisted
+    self-calibration (``tools/calibrate.py``): the datasheet-shaped v5e
+    roofline rescaled to the measured engine rate, with the measured
+    per-grid-step latch.  Returns None when no calibration exists."""
+    from gemm_hls_tpu.tools.calibrate import load_calibration
+
+    e = load_calibration(kind)
+    if not e:
+        return None
+    base = _CHIPS["v5e"]
+    scale = e["measured_bf16_flops"] / base.peak_flops["bfloat16"]
+    return dataclasses.replace(
+        base,
+        name=kind,
+        peak_flops={d: p * scale for d, p in base.peak_flops.items()},
+        vpu_ops=base.vpu_ops * scale,
+        grid_step_overhead_s=e["grid_step_overhead_s"],
+    )
+
+
 def detect_chip() -> ChipSpec:
-    """Best-effort detection of the local accelerator generation."""
+    """Best-effort detection of the local accelerator generation.
+
+    Unknown ``device_kind``s consult the self-calibration cache
+    (reference analogue: per-platform clock query,
+    ``CMakeLists.txt:114-133``); without one, the v5e constants are used
+    and a warning points at ``python -m gemm_hls_tpu.tools.calibrate``.
+    """
     if jax.default_backend() != "tpu":
         return _CHIPS["cpu"]
     kind = jax.devices()[0].device_kind.lower()
@@ -164,6 +191,16 @@ def detect_chip() -> ChipSpec:
         return _CHIPS["v5e"]
     if "v6 lite" in kind or "v6lite" in kind:
         return _CHIPS["v6e"]
+    cal = _calibrated_spec(kind)
+    if cal is not None:
+        return cal
+    import warnings
+
+    warnings.warn(
+        f"unknown TPU generation {kind!r}: using v5e roofline constants; "
+        "run `python -m gemm_hls_tpu.tools.calibrate` for a 60 s "
+        "self-calibration (engine rate + grid-step latch + autotune seed)",
+        stacklevel=2)
     return _CHIPS["v5e"]
 
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gemm_hls_tpu.config import (
-    GemmConfig, LANE, default_config, round_up, sublane,
+    GemmConfig, LANE, cdiv, default_config, round_up, sublane,
 )
 from gemm_hls_tpu.ops.semiring import Semiring, get_semiring
 from gemm_hls_tpu.ops import pallas_mxu, pallas_vpu
@@ -359,6 +359,45 @@ def _xla_matmul(a, b, cfg: GemmConfig, sr: Semiring):
 # VPU path wrapper (padding + slicing around the Pallas kernel)
 # ---------------------------------------------------------------------------
 
+def _pack_bits_rows(x):
+    """(M, K) bool -> (M, ceil(K/32)) int32, 32 contraction bits per lane
+    word (bit j of word w = x[:, 32*w + j]).  Disjoint bit positions make
+    the shifted sum an exact OR; the K tail pads with False, absorbing
+    for the AND map."""
+    m, k = x.shape
+    kp = round_up(k, 32)
+    if kp != k:
+        x = jnp.pad(x, ((0, 0), (0, kp - k)))
+    w = x.reshape(m, kp // 32, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        jnp.sum(w << shifts, axis=-1, dtype=jnp.uint32), jnp.int32)
+
+
+def _pack_bits_cols(x):
+    """(K, N) bool -> (ceil(K/32), N) int32, packed along K with the same
+    bit order as :func:`_pack_bits_rows`."""
+    k, n = x.shape
+    kp = round_up(k, 32)
+    if kp != k:
+        x = jnp.pad(x, ((0, kp - k), (0, 0)))
+    w = x.reshape(kp // 32, 32, n).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)[:, None]
+    return jax.lax.bitcast_convert_type(
+        jnp.sum(w << shifts, axis=1, dtype=jnp.uint32), jnp.int32)
+
+
+def _bitand_nonzero(aw, bw):
+    return (jnp.bitwise_and(aw, bw) != 0).astype(jnp.int32)
+
+
+_OR_AND_BITS = Semiring(
+    name="or_and_bits", map_op=_bitand_nonzero, reduce_op=jnp.maximum,
+    identity=0,
+    np_map=lambda a, b: (np.bitwise_and(a, b) != 0).astype(np.int32),
+    np_reduce=np.maximum, reduce_axis=jnp.max)
+
+
 def _vpu_dispatch(a, b, cfg: GemmConfig, sr: Semiring):
     interpret = _resolve_interpret(cfg)
     a_l = a.T if cfg.transpose_a else a
@@ -368,15 +407,28 @@ def _vpu_dispatch(a, b, cfg: GemmConfig, sr: Semiring):
 
     cast_bool = a_l.dtype == jnp.bool_
     if cast_bool:
-        # Boolean reachability rides int32 lanes on device: and -> min,
-        # or -> max over {0,1}; the registry keeps the logical ops for the
-        # oracle.  (Only or_and reaches here — see supports_dtype gate.)
-        a_l, b_l = a_l.astype(jnp.int32), b_l.astype(jnp.int32)
-        sr = Semiring(name=sr.name + "_int", map_op=jnp.minimum,
-                      reduce_op=jnp.maximum, identity=0,
-                      np_map=np.minimum, np_reduce=np.maximum,
-                      reduce_axis=jnp.max)
-        cfg = cfg.replace(dtype="int32", out_dtype="int32", acc_dtype="int32")
+        # Boolean reachability rides *bit-packed* int32 lanes: 32 k-bits
+        # per word, map = (word AND word) != 0, reduce = max (= OR) — 32
+        # logical contraction steps per lane op, vs 1 for the old
+        # one-bool-per-int32-lane encoding.  Packing is an O(M*K)
+        # elementwise pass.  (int8 lanes were measured instead and are a
+        # dead end: Mosaic has no int8 axis reductions and the binary
+        # fold tree hangs its compiler — see docs/BENCHMARKS.md.)
+        kw = cdiv(k, 32)
+        a_l = _pack_bits_rows(a_l)
+        b_l = _pack_bits_cols(b_l)
+        sr = _OR_AND_BITS
+        # Packed-geometry blocks: the caller's block_k describes the
+        # unpacked K.  bn rides full lanes; bm stays small so the
+        # (bm, ck, bn) mapped intermediate fits VMEM (the kernel widens
+        # ck as far as the budget allows).
+        cfg = cfg.replace(
+            dtype="int32", out_dtype="int32", acc_dtype="int32",
+            block_m=min(16, round_up(m, 8)),
+            block_n=min(2048, round_up(n, LANE)),
+            block_k=round_up(min(kw, 2048), 8),
+        )
+        k = kw
 
     mp, np_, kp = cfg.padded_shape(m, n, k)
     out = pallas_vpu.vpu_matmul(

@@ -66,6 +66,20 @@ def _vpu_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k_grid, bk, ck, k_actual,
 
     def chunk_body(mask_tail):
         def body(c, acc):
+            if n_chunks == 1:
+                # Whole-block chunk: static full reads — no lane-dim
+                # dynamic slice, so ck need not be 128-aligned (Mosaic
+                # cannot prove alignment of a dynamic lane index
+                # otherwise; bit-packed or_and blocks hit ck < 128).
+                a_c = a_ref[:, :].astype(acc_dtype)
+                b_c = b_ref[:, :].astype(acc_dtype)
+                mapped = map_op(a_c[:, :, None], b_c[None, :, :])
+                if mask_tail:
+                    k_global = (pid_k * bk + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, ck, 1), 1))
+                    mapped = jnp.where(k_global < k_actual, mapped,
+                                       jnp.asarray(identity, acc_dtype))
+                return reduce_op(acc, sr.reduce_along(mapped, axis=1))
             # Lane-dim dynamic slices must be 128-aligned on TPU (Mosaic
             # constraint), hence ck = LANE and the multiple_of hint.
             off = pl.multiple_of(c * ck, ck)

@@ -56,6 +56,37 @@ def test_or_and_bool_reachability():
     np.testing.assert_array_equal(np.asarray(out), exp)
 
 
+def test_or_and_bitpacked_k_sweep():
+    # The bit-packed path packs 32 contraction bits per int32 word: cover
+    # K below / at / straddling / beyond word and block boundaries, plus
+    # single-bit tails (K % 32 == 1) where a bit-order mistake flips
+    # reachability.
+    rng = np.random.default_rng(11)
+    for k in (1, 31, 32, 33, 64, 100, 257, 1024):
+        a = rng.random((17, k)) < 0.08
+        b = rng.random((k, 35)) < 0.08
+        exp = reference_matmul(a, b, semiring="or_and")
+        out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="or_and",
+                     interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), exp, err_msg=f"k={k}")
+
+
+def test_or_and_bitpack_helpers_roundtrip():
+    from gemm_hls_tpu.ops.matmul import _pack_bits_cols, _pack_bits_rows
+
+    rng = np.random.default_rng(3)
+    x = rng.random((5, 70)) < 0.5
+    rows = np.asarray(_pack_bits_rows(jnp.asarray(x)))
+    assert rows.shape == (5, 3)  # ceil(70/32)
+    # bit j of word w == x[:, 32*w + j]
+    for m in range(5):
+        for kk in range(70):
+            bit = (rows[m, kk // 32] >> (kk % 32)) & 1
+            assert bool(bit) == bool(x[m, kk]), (m, kk)
+    cols = np.asarray(_pack_bits_cols(jnp.asarray(x.T.copy())))
+    np.testing.assert_array_equal(cols, rows.T)
+
+
 def test_min_plus_distance_product():
     # Distance-product sanity: one relaxation step of APSP on a small graph.
     inf = np.inf

@@ -398,6 +398,32 @@ _OR_AND_BITS = Semiring(
     np_reduce=np.maximum, reduce_axis=jnp.max)
 
 
+def _or_and_mxu(a, b, cfg: GemmConfig):
+    """Boolean reachability on the MXU: 0/1 operands cast to int8,
+    ``plus_times``-counted into int32 — exact, since each output count is
+    at most K < 2^31 — then compared against zero.  The systolic array
+    runs the 2*M*N*K "logical ops" at the int8 engine rate (~378 TOp/s on
+    v5e), ~40x the best VPU encoding.  The FPGA reference had to bind
+    AND/OR onto LUTs because its DSPs only do arithmetic
+    (``include/MatrixMultiplication.h:141-153``); on TPU the trick runs
+    the *arithmetic* engine because over {0,1}, AND *is* x and OR of a
+    K-fold reduction *is* (sum != 0)."""
+    a_l = a.T if cfg.transpose_a else a
+    b_l = b.T if cfg.transpose_b else b
+    m, k = a_l.shape
+    n = b_l.shape[1]
+    cfg8 = default_config("int8").replace(
+        interpret=cfg.interpret,
+        # Measured int8 winner geometry (data/autotune_seed.json), clamped
+        # to the problem like the auto path.
+        block_m=min(512, round_up(m, sublane("int8"))),
+        block_n=min(1024, round_up(n, LANE)),
+        block_k=min(4096, round_up(k, LANE)),
+    )
+    counts = _mxu_padded(a_l.astype(jnp.int8), b_l.astype(jnp.int8), cfg8)
+    return counts != 0
+
+
 def _vpu_dispatch(a, b, cfg: GemmConfig, sr: Semiring):
     interpret = _resolve_interpret(cfg)
     a_l = a.T if cfg.transpose_a else a
@@ -411,9 +437,11 @@ def _vpu_dispatch(a, b, cfg: GemmConfig, sr: Semiring):
         # per word, map = (word AND word) != 0, reduce = max (= OR) — 32
         # logical contraction steps per lane op, vs 1 for the old
         # one-bool-per-int32-lane encoding.  Packing is an O(M*K)
-        # elementwise pass.  (int8 lanes were measured instead and are a
-        # dead end: Mosaic has no int8 axis reductions and the binary
-        # fold tree hangs its compiler — see docs/BENCHMARKS.md.)
+        # elementwise pass.  This is the `backend="pallas-vpu"` fallback;
+        # the default route for bool or_and is :func:`_or_and_mxu`.
+        # (int8 *lanes* were measured and are a dead end: Mosaic has no
+        # int8 axis reductions and the binary fold tree hangs its
+        # compiler — see docs/BENCHMARKS.md.)
         kw = cdiv(k, 32)
         a_l = _pack_bits_rows(a_l)
         b_l = _pack_bits_cols(b_l)
@@ -468,7 +496,9 @@ def matmul(
         ``MM_MAP_OP``/``MM_REDUCE_OP``).
       config: a :class:`GemmConfig`; defaults to :func:`default_config` for
         the input dtype.
-      backend: "pallas" (default on TPU; interpreter off-TPU), or "xla".
+      backend: "pallas" (default on TPU; interpreter off-TPU), "xla", or
+        "pallas-vpu" (force the generic-semiring VPU kernel, bypassing MXU
+        routing — any semiring, including plus_times and bool or_and).
       interpret: force Pallas interpreter mode.
       precision: MXU precision override for float32 ("default"|"high"|"highest").
       epilogue: optional output transform fused into the MXU kernel's store
@@ -652,7 +682,8 @@ def matmul(
                 "f64 emulation")
 
     interp = _resolve_interpret(config)
-    config.validate(strict_alignment=(backend == "pallas" and not interp))
+    config.validate(
+        strict_alignment=(backend in ("pallas", "pallas-vpu") and not interp))
 
     if config.pad_policy == "strict":
         m = a.shape[1] if config.transpose_a else a.shape[0]
@@ -672,8 +703,15 @@ def matmul(
                                   epilogue_bwd=epilogue_bwd)
     if backend == "xla":
         return _xla_matmul(a, b, config, sr)
-    if backend != "pallas":
+    if backend not in ("pallas", "pallas-vpu"):
         raise ValueError(f"unknown backend {backend!r}")
+    if backend == "pallas-vpu":
+        # Force the generic-semiring VPU kernel — bypasses every MXU
+        # routing decision (plus_times-on-VPU, bit-packed or_and), for
+        # benchmarking the VPU datapath and testing its codepaths.
+        return _vpu_dispatch(a, b, config, sr)
+    if sr.name == "or_and" and a.dtype == jnp.bool_:
+        return _or_and_mxu(a, b, config)
     if sr.is_mxu and config.precision in ("i8x2", "i8x3", "i8x4"):
         if (config.transpose_a or config.transpose_b
                 or np.dtype(config.dtype) != np.float32):

@@ -80,8 +80,11 @@ def main(argv=None):
           gemm_case(256, 512, 300, "float32", semiring="min_plus"))
     check("max_min VPU (widest path)",
           gemm_case(128, 256, 200, "float32", semiring="max_min"))
-    check("or_and bool reachability",
+    check("or_and bool reachability (MXU counting)",
           gemm_case(64, 128, 96, "bool", semiring="or_and"))
+    check("or_and bit-packed VPU (backend=pallas-vpu)",
+          gemm_case(64, 128, 97, "bool", semiring="or_and",
+                    backend="pallas-vpu"))
 
     def grad_check():
         a, b = make_operands(64, 128, 96, "float32")

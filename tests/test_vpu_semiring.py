@@ -49,6 +49,7 @@ def test_min_plus_int32():
 
 
 def test_or_and_bool_reachability():
+    # Default route: MXU int8 counting (exact over {0,1}).
     a, b = make_operands(19, 131, 23, "bool")
     exp = reference_matmul(a, b, semiring="or_and")
     out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="or_and", config=CFG)
@@ -56,19 +57,41 @@ def test_or_and_bool_reachability():
     np.testing.assert_array_equal(np.asarray(out), exp)
 
 
+@pytest.mark.parametrize("ta,tb", [(False, False), (True, False),
+                                   (False, True), (True, True)])
+def test_or_and_mxu_transposes(ta, tb):
+    rng = np.random.default_rng(7)
+    m, n, k = 21, 45, 67
+    a = rng.random((k, m) if ta else (m, k)) < 0.1
+    b = rng.random((n, k) if tb else (k, n)) < 0.1
+    exp = reference_matmul(a.T if ta else a, b.T if tb else b,
+                           semiring="or_and")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="or_and",
+                 transpose_a=ta, transpose_b=tb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), exp)
+
+
 def test_or_and_bitpacked_k_sweep():
-    # The bit-packed path packs 32 contraction bits per int32 word: cover
-    # K below / at / straddling / beyond word and block boundaries, plus
-    # single-bit tails (K % 32 == 1) where a bit-order mistake flips
-    # reachability.
+    # backend="pallas-vpu" forces the bit-packed VPU encoding (32
+    # contraction bits per int32 word): cover K below / at / straddling /
+    # beyond word and block boundaries, plus single-bit tails
+    # (K % 32 == 1) where a bit-order mistake flips reachability.
     rng = np.random.default_rng(11)
     for k in (1, 31, 32, 33, 64, 100, 257, 1024):
         a = rng.random((17, k)) < 0.08
         b = rng.random((k, 35)) < 0.08
         exp = reference_matmul(a, b, semiring="or_and")
         out = matmul(jnp.asarray(a), jnp.asarray(b), semiring="or_and",
-                     interpret=True)
+                     backend="pallas-vpu", interpret=True)
         np.testing.assert_array_equal(np.asarray(out), exp, err_msg=f"k={k}")
+
+
+def test_backend_pallas_vpu_plus_times():
+    # The escape hatch runs even the arithmetic semiring on the VPU kernel.
+    a, b = make_operands(24, 131, 40, "float32")
+    out = matmul(jnp.asarray(a), jnp.asarray(b), backend="pallas-vpu",
+                 config=CFG)
+    verify_matmul(np.asarray(out), reference_matmul(a, b))
 
 
 def test_or_and_bitpack_helpers_roundtrip():

@@ -122,9 +122,25 @@ _mxu_padded.defvjp(_mxu_fwd, _mxu_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _mxu_batched(a, b, cfg: GemmConfig):
+    # Measured batch_block for this (chip, dtype, semiring, BxMxNxK
+    # bucket), if one is cached (user cache or the packaged seed) — the
+    # 3-D analogue of the 2-D cached_config lookup.  None -> the kernel's
+    # DMA-quantum heuristic.  Mixed-dtype calls (the backward's f32
+    # cotangent against a bf16 operand) miss the cache by design and take
+    # the heuristic, which already sizes from actual operand dtypes.
+    from gemm_hls_tpu.tools.autotune import cached_batch_block
+
+    ta, tb = cfg.transpose_a, cfg.transpose_b
+    m = a.shape[2] if ta else a.shape[1]
+    n = b.shape[1] if tb else b.shape[2]
+    k = a.shape[1] if ta else a.shape[2]
+    bb = None
+    if a.dtype == b.dtype:
+        bb = cached_batch_block(a.shape[0], m, n, k, dtype=str(a.dtype),
+                                semiring=cfg.semiring)
     return pallas_mxu.mxu_matmul_batched(
-        a, b, cfg=cfg, transpose_a=cfg.transpose_a,
-        transpose_b=cfg.transpose_b, interpret=_resolve_interpret(cfg))
+        a, b, cfg=cfg, transpose_a=ta, transpose_b=tb,
+        interpret=_resolve_interpret(cfg), batch_block=bb)
 
 
 def _mxu_batched_fwd(a, b, cfg):

@@ -222,16 +222,161 @@ def autotune(m: int, n: int, k: int, *, dtype: str = "bfloat16",
     return best
 
 
+# ---------------------------------------------------------------------------
+# Batched (3-D) problems: tune the batch_block of the batched MXU kernel.
+#
+# The kernel's default sizes the batch-block to a fixed ~8 MB DMA quantum
+# (``ops/pallas_mxu.py``) — a heuristic measured at one shape.  Shapes near
+# the routing threshold swing up to 1.4x across batch_block choices, so the
+# autotuner probes candidates around the quantum on the actual problem and
+# memoizes per (chip, dtype, semiring, BxMxNxK bucket) — the 3-D analogue of
+# the 2-D shape-bucketed winners (reference tuning loop:
+# ``scripts/build_manager.py:417-431``).
+# ---------------------------------------------------------------------------
+
+def _key_batched(chip: str, dtype: str, semiring: str, bsz: int, m: int,
+                 n: int, k: int) -> str:
+    return (f"{chip}/{dtype}/{semiring}/"
+            f"{_bucket(bsz)}bx{_bucket(m)}x{_bucket(n)}x{_bucket(k)}")
+
+
+def cached_batch_block(bsz: int, m: int, n: int, k: int, *, dtype: str,
+                       semiring: str = "plus_times",
+                       cache_path: Optional[str] = None) -> Optional[int]:
+    """Cached batch_block winner for this 3-D problem, or None — never
+    measures.  Consulted by the batched dispatch in ``ops/matmul.py`` the
+    same way :func:`cached_config` feeds the 2-D path."""
+    from gemm_hls_tpu.models.perf_model import detect_chip
+
+    if cache_path is None:
+        cache_path = DEFAULT_CACHE
+    key = _key_batched(detect_chip().name, dtype, semiring, bsz, m, n, k)
+    for path in (cache_path, SEED_CACHE):
+        e = _load_memoized(path).get(key)
+        if e is not None and "batch_block" in e:
+            bb = int(e["batch_block"])
+            if bb >= 1:
+                return min(bb, bsz)
+    return None
+
+
+def batch_block_candidates(bsz: int, m: int, n: int, k: int, dtype: str,
+                           vmem_limit_bytes: int = 96 * 1024 * 1024,
+                           out_dtype: Optional[str] = None) -> List[int]:
+    """Candidate batch-blocks bracketing the kernel's DMA-quantum default."""
+    import numpy as np
+
+    in_b = np.dtype(dtype).itemsize
+    out_b = np.dtype(out_dtype).itemsize if out_dtype else in_b
+    bytes_ex = m * k * in_b + k * n * in_b + m * n * out_b
+    quantum = max(1, round(8 * 1024 * 1024 / max(bytes_ex, 1)))
+    vmem_cap = max(1, int(vmem_limit_bytes // (3 * max(bytes_ex, 1))))
+    raw = {1, 2, quantum // 2, quantum, quantum * 2, quantum * 4, bsz}
+    return sorted(bb for bb in raw
+                  if 1 <= bb <= min(bsz, max(vmem_cap, 1)))
+
+
+def autotune_batched(bsz: int, m: int, n: int, k: int, *,
+                     dtype: str = "bfloat16", semiring: str = "plus_times",
+                     cache_path: str = DEFAULT_CACHE, iters: int = 5,
+                     rounds: int = 3, force: bool = False,
+                     verbose: bool = False, interpret: bool = False) -> int:
+    """Best measured batch_block for a (B, M, K) x (B, K, N) problem.
+
+    Median-of-``rounds`` scoring with the same physical-ceiling retry as
+    ``sweep.run_one`` (readings above the engine peak are re-measured, then
+    discarded as unreliable)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemm_hls_tpu.models.perf_model import detect_chip
+    from gemm_hls_tpu.ops.pallas_mxu import mxu_matmul_batched
+    from gemm_hls_tpu.utils.benchmark import time_fn
+
+    sr = get_semiring(semiring)
+    if not sr.is_mxu:
+        raise ValueError("autotune_batched covers MXU semirings only")
+    chip = detect_chip()
+    key = _key_batched(chip.name, dtype, semiring, bsz, m, n, k)
+    cache = _load(cache_path)
+    if key in cache and not force:
+        return int(cache[key]["batch_block"])
+
+    cfg = GemmConfig(dtype=dtype, semiring=semiring)
+    # Same engine-tier ceiling rule as sweep.run_one: precision='default'
+    # tiers can ride the int8 engine, so bound by the fastest engine rate.
+    ceiling = None
+    if not interpret:
+        try:
+            if cfg.precision in ("i8x2", "i8x3", "i8x4", "default"):
+                ceiling = chip.peak_for("int8") or None
+            else:
+                ceiling = chip.peak_for(dtype) or None
+        except Exception:  # noqa: BLE001 — unknown chip/dtype: no ceiling
+            ceiling = None
+
+    ka, kb = jax.random.split(jax.random.PRNGKey(5))
+    jdt = jnp.dtype(dtype)
+    a = jax.random.uniform(ka, (bsz, m, k), jnp.float32, 1, 10).astype(jdt)
+    b = jax.random.uniform(kb, (bsz, k, n), jnp.float32, 1, 10).astype(jdt)
+    jax.block_until_ready((a, b))
+    flops = 2.0 * bsz * m * n * k
+
+    best, best_gf = None, -1.0
+    for bb in batch_block_candidates(bsz, m, n, k, dtype,
+                                     cfg.vmem_limit_bytes):
+        fn = jax.jit(lambda x, y, _bb=bb: mxu_matmul_batched(
+            x, y, cfg=cfg, interpret=interpret, batch_block=_bb))
+        samples, status = [], "ok"
+        for _ in range(max(1, rounds)):
+            try:
+                secs = time_fn(fn, [(a, b)], iters=iters, warmup=1)
+                retries = 2
+                while ceiling and flops / secs > ceiling and retries:
+                    secs = time_fn(fn, [(a, b)], iters=iters, warmup=1)
+                    retries -= 1
+            except Exception as e:  # noqa: BLE001 — infeasible candidate
+                status = f"fail:{type(e).__name__}"
+                break
+            if ceiling and flops / secs > ceiling:
+                status = "unreliable_timing"
+                break
+            samples.append(flops / secs / 1e9)
+        gf = sorted(samples)[len(samples) // 2] if samples else None
+        if verbose:
+            print(f"  batch_block={bb:4d} -> {status}"
+                  + (f" median {gf:.0f} GOp/s of "
+                     f"{sorted(round(s) for s in samples)}" if gf else ""))
+        if gf and gf > best_gf:
+            best, best_gf = bb, gf
+    if best is None:
+        raise RuntimeError(f"autotune_batched: no feasible batch_block "
+                           f"for {key}")
+    cache[key] = {"batch_block": best, "gflops": round(best_gf, 1)}
+    _store(cache_path, cache)
+    return best
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("m", type=int)
     p.add_argument("n", type=int)
     p.add_argument("k", type=int)
+    p.add_argument("--batch", type=int, default=None,
+                   help="tune the batched kernel's batch_block for a "
+                        "(B, M, K) x (B, K, N) problem")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--semiring", default="plus_times")
     p.add_argument("--cache", default=DEFAULT_CACHE)
     p.add_argument("--force", action="store_true")
     args = p.parse_args(argv)
+    if args.batch is not None:
+        bb = autotune_batched(args.batch, args.m, args.n, args.k,
+                              dtype=args.dtype, semiring=args.semiring,
+                              cache_path=args.cache, force=args.force,
+                              verbose=True)
+        print(f"best: batch_block={bb}")
+        return bb
     cfg = autotune(args.m, args.n, args.k, dtype=args.dtype,
                    semiring=args.semiring, cache_path=args.cache,
                    force=args.force, verbose=True)

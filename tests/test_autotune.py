@@ -70,6 +70,96 @@ def test_cached_config_lookup_and_guards(tmp_path, monkeypatch):
                             cache_path=cache) is None
 
 
+def test_batch_block_candidates_bracket_quantum():
+    import gemm_hls_tpu.tools.autotune as at
+
+    # 512^3 bf16: bytes_ex = 2*(512*512)*2 + 512*512*2 = 1.5 MiB ->
+    # quantum ~5; candidates bracket it and respect bsz / VMEM caps.
+    cands = at.batch_block_candidates(64, 512, 512, 512, "bfloat16")
+    assert cands == sorted(set(cands))
+    assert 1 in cands and any(3 <= c <= 7 for c in cands)
+    assert all(1 <= c <= 64 for c in cands)
+    # Tiny batch: everything clamps into [1, bsz].
+    assert at.batch_block_candidates(2, 512, 512, 512, "bfloat16") == [1, 2]
+
+
+def test_cached_batch_block_lookup(tmp_path):
+    import json
+
+    import gemm_hls_tpu.tools.autotune as at
+    from gemm_hls_tpu.models.perf_model import detect_chip
+
+    chip = detect_chip().name
+    cache = str(tmp_path / "cache.json")
+    with open(cache, "w") as f:
+        json.dump({f"{chip}/bfloat16/plus_times/64bx512x512x512":
+                   {"batch_block": 6, "gflops": 150000.0}}, f)
+    assert at.cached_batch_block(64, 512, 512, 512, dtype="bfloat16",
+                                 cache_path=cache) == 6
+    # Winner clamps to the (smaller, same-bucket) actual batch.
+    assert at.cached_batch_block(40, 512, 512, 512, dtype="bfloat16",
+                                 cache_path=cache) == 6
+    assert at.cached_batch_block(33, 512, 500, 512, dtype="bfloat16",
+                                 cache_path=cache) == 6  # in-bucket shapes
+    assert at.cached_batch_block(64, 512, 512, 512, dtype="float32",
+                                 cache_path=cache) is None
+    assert at.cached_batch_block(128, 512, 512, 512, dtype="bfloat16",
+                                 cache_path=cache) is None
+
+
+def test_autotune_batched_caches(tmp_path, monkeypatch):
+    import gemm_hls_tpu.tools.autotune as at
+
+    monkeypatch.setattr(at, "batch_block_candidates",
+                        lambda *a, **kw: [1, 2])
+    cache = str(tmp_path / "cache.json")
+    bb = at.autotune_batched(4, 64, 128, 64, dtype="float32",
+                             cache_path=cache, iters=1, rounds=1,
+                             interpret=True)
+    assert bb in (1, 2)
+    # Second call hits the cache (candidates not consulted).
+    monkeypatch.setattr(at, "batch_block_candidates",
+                        lambda *a, **kw: (_ for _ in ()).throw(AssertionError))
+    assert at.autotune_batched(4, 64, 128, 64, dtype="float32",
+                               cache_path=cache) == bb
+
+
+def test_matmul_batched_adopts_cached_batch_block(tmp_path, monkeypatch):
+    """The batched dispatch passes the cached batch_block to the kernel."""
+    import importlib
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    mm = importlib.import_module("gemm_hls_tpu.ops.matmul")
+    import gemm_hls_tpu.tools.autotune as at
+    from gemm_hls_tpu.models.perf_model import detect_chip
+
+    chip = detect_chip().name
+    cache = str(tmp_path / "cache.json")
+    with open(cache, "w") as f:
+        json.dump({f"{chip}/float32/plus_times/8bx64x64x64":
+                   {"batch_block": 3}}, f)
+    monkeypatch.setattr(at, "DEFAULT_CACHE", cache)
+
+    seen = {}
+    orig = mm.pallas_mxu.mxu_matmul_batched
+
+    def spy(a, b, *eps, **kw):
+        seen["batch_block"] = kw.get("batch_block")
+        return orig(a, b, *eps, **kw)
+
+    monkeypatch.setattr(mm.pallas_mxu, "mxu_matmul_batched", spy)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(1, 2, (8, 64, 64)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(1, 2, (8, 64, 64)).astype(np.float32))
+    out = mm.matmul(a, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(a) @ np.asarray(b), rtol=1e-5)
+    assert seen["batch_block"] == 3
+
+
 def test_matmul_adopts_cached_winner(tmp_path, monkeypatch):
     """matmul(config=None) picks the cached autotune winner's blocks."""
     import json

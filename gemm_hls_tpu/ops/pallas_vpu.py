@@ -138,29 +138,30 @@ def vpu_matmul(a, b, *, cfg: GemmConfig, sr: Semiring, k_actual: int,
     # dynamic slices to be 128-aligned); whole-block for small
     # interpreter-mode configs.
     if ck is None:
-        if bk % 128:
+        if bk % 128 or bm <= 16:
+            # Whole-block chunk: the n_chunks==1 branch reads statically
+            # (no fori_loop, no dynamic lane slices) — measured 5.51
+            # TOp/s at (16, 2048, 2048) 4096^3 vs 4.97 for ck=1024 and
+            # 4.63 for ck=512 (experiments/minplus_retune.py).
             ck = bk
         else:
-            # Prefer the widest chunk that fits VMEM: each doubling
-            # amortizes one accumulator read-modify-write over twice the
-            # mapped work (measured on v5e: ck=512 at (16,2048) blocks is
-            # +7% over ck=256 at (32,2048), +21% over ck=128).
+            # Wider chunks amortize accumulator read-modify-writes over
+            # more mapped work (measured on v5e: ck=1024 at 5.04 TOp/s vs
+            # whole-block 4.57 at bm=32 — wide-bm blocks prefer bounded
+            # chunks).  The nominal (bm, ck, bn) mapped intermediate does
+            # NOT occupy VMEM: Mosaic fuses the broadcast-add into the
+            # fold tree, proven by chunk bodies with 0.25-1 GiB nominal
+            # intermediates compiling and running ALU-bound inside a
+            # 128 MiB VMEM window (experiments/vpu_ceiling2.py,
+            # artifacts/vpu_ceiling_v5e.csv), so no VMEM-feasibility cap
+            # applies — only the real blocks count (config.validate).
             ck = 128
-            for cand in (512, 256):
-                if (bk % cand == 0 and
-                        bm * cand * bn * acc_dtype.itemsize + cfg.vmem_bytes()
-                        <= cfg.vmem_limit_bytes):
+            for cand in (1024, 512, 256):
+                if bk % cand == 0:
                     ck = cand
                     break
     if bk % ck:
         raise ValueError(f"block_k={bk} must be a multiple of chunk ck={ck}")
-    mapped_bytes = bm * ck * bn * acc_dtype.itemsize
-    if not interpret and mapped_bytes + cfg.vmem_bytes() > cfg.vmem_limit_bytes:
-        raise ValueError(
-            f"VPU mapped intermediate (block_m x {ck} x block_n) plus blocks "
-            f"needs {mapped_bytes + cfg.vmem_bytes()} B of VMEM "
-            f"(> {cfg.vmem_limit_bytes}); shrink block_m or the K-chunk"
-        )
 
     grid = (m // bm, n // bn, k_dim // bk)
     kernel = functools.partial(

@@ -46,9 +46,11 @@ def main():
         jax.block_until_ready((a, b))
         flops = 2 * bsz * m * n * k
         # Small batches finish in ~0.1 ms: scale the slope's iteration
-        # count so each measurement integrates >= ~60 GFLOP of work,
-        # otherwise RTT jitter swamps the slope.
-        iters = max(6, min(200, int(60e9 * 6 / flops)))
+        # count so each measurement integrates >= ~1.5 TFLOP (~10 ms of
+        # device work), otherwise the multi-ms RTT jitter swamps the
+        # slope (same protocol as autotune_batched; at 20 iters the
+        # 64x512^3 row once read XLA at 189 TF — pure transport noise).
+        iters = max(6, min(1000, int(1.5e12 / flops)))
         ours = jax.jit(lambda x, y: matmul(x, y))
         xla = jax.jit(lambda x, y: jnp.einsum("bmk,bkn->bmn", x, y))
         gf_p, gf_x = interleaved_medians((ours, xla), (a, b), flops,
@@ -77,7 +79,8 @@ def main():
     xla = jax.jit(lambda x, y: jax.nn.softmax(
         jnp.einsum("bqd,bkd->bqk", x, y) * scale, axis=-1).astype(x.dtype))
     gf_p, gf_x = interleaved_medians((ours, xla), (q, kmat), flops, peak_gf,
-                                     iters=30)
+                                     iters=max(30, min(1000,
+                                                       int(1.5e12 / flops))))
     label = "scores+softmax fused (32x1024^2x128)"
     emit(dict(label=label, b=bsz, m=seq, n=seq, k=hd,
               pallas_gflops=round(gf_p, 1), xla_gflops=round(gf_x, 1),
@@ -112,7 +115,7 @@ def main():
         jnp.swapaxes(v, 0, 1)[None])[0].swapaxes(0, 1))
     gf_p, gf_x, gf_d = interleaved_medians(
         (ours_attn, jax.jit(xla_comp), dpa), (q, kmat, v), flops, peak_gf,
-        iters=20)
+        iters=max(20, min(1000, int(1.5e12 / flops))))
     label = "attention e2e (32 heads, 1024, hd=128)"
     emit(dict(label=label, b=bsz, m=seq, n=seq, k=hd,
               pallas_gflops=round(gf_p, 1), xla_gflops=round(gf_x, 1),

@@ -628,15 +628,22 @@ def matmul(
         raise ValueError(
             f"matmul expects operands of ndim >= 2, got {a.shape}, {b.shape}")
     if config is None:
-        if not transpose_a and not transpose_b:
-            # Measured autotune winner for this (chip, dtype, semiring,
-            # shape bucket), if one is cached (user cache or the packaged
-            # seed) — never probes.
-            from gemm_hls_tpu.tools.autotune import cached_config
+        # Measured autotune winner for this (chip, dtype, semiring,
+        # shape bucket, layout), if one is cached (user cache or the
+        # packaged seed) — never probes.  Transposed layouts consult
+        # their own buckets: transpose_a moves block_m to the lane
+        # dimension, which shifts the block optimum (the backward pass
+        # issues exactly these layouts).
+        from gemm_hls_tpu.tools.autotune import cached_config
 
-            mm, kk = a.shape
-            config = cached_config(mm, b.shape[1], kk, dtype=str(a.dtype),
-                                   semiring=sr.name)
+        ta_ = bool(transpose_a)
+        tb_ = bool(transpose_b)
+        layout = ("t" if ta_ else "n") + ("t" if tb_ else "n")
+        mm = a.shape[1] if ta_ else a.shape[0]
+        kk = a.shape[0] if ta_ else a.shape[1]
+        nn_ = b.shape[0] if tb_ else b.shape[1]
+        config = cached_config(mm, nn_, kk, dtype=str(a.dtype),
+                               semiring=sr.name, layout=layout)
         if config is None:
             config = default_config(str(a.dtype), semiring=sr.name)
     overrides = {}

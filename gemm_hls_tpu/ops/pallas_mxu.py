@@ -239,11 +239,15 @@ def mxu_matmul_batched(a, b, *ep_operands, cfg: GemmConfig,
                 f"got {ep.shape}")
 
     # Whole examples per block; batch-block sized to a fixed per-step DMA
-    # quantum (~8 MB of operands+output), NOT to fill VMEM: measured at
-    # 64x(512^3), bb=6 (9 MB/step) runs 187 TF while a VMEM-filling bb=22
-    # runs 104 TF — small steps leave room for Mosaic's multi-buffering
-    # and pipeline DMA against the MXU; bb=2 (grid-latch-bound) collapses
-    # to 59 TF.  A secondary VMEM cap guards big examples.
+    # quantum (~8 MB of operands+output), NOT to fill VMEM: small steps
+    # leave room for Mosaic's multi-buffering and pipeline DMA against
+    # the MXU (a VMEM-filling bb=22 at 64x512^3 runs 104 TF vs ~175 for
+    # small blocks).  The quantum is only a default: measured per-bucket
+    # winners from `tools.autotune.autotune_batched` (RTT-robust
+    # protocol, >=1.5 TFLOP integrated per reading) arrive via the
+    # `batch_block` argument — at 64x512^3 the tuned bb=2 sustains
+    # 175-177 TF vs the quantum bb=5's 164.  A secondary VMEM cap
+    # guards big examples.
     # Per-example bytes from the *actual* operand dtypes, not cfg.dtype:
     # the backward pass feeds an f32 cotangent against a bf16 saved
     # operand, and sizing from cfg.dtype alone would undercount by 2x and

@@ -44,8 +44,13 @@ def _bucket(x: int) -> int:
     return 1 << max(0, math.ceil(math.log2(max(x, 1))))
 
 
-def _key(chip: str, dtype: str, semiring: str, m: int, n: int, k: int) -> str:
-    return f"{chip}/{dtype}/{semiring}/{_bucket(m)}x{_bucket(n)}x{_bucket(k)}"
+def _key(chip: str, dtype: str, semiring: str, m: int, n: int, k: int,
+         layout: str = "nn") -> str:
+    """Cache key; ``layout`` is "nn"/"tn"/"nt"/"tt" (transpose_a/_b flags).
+    The NN layout omits the suffix for back-compatibility with existing
+    caches."""
+    base = f"{chip}/{dtype}/{semiring}/{_bucket(m)}x{_bucket(n)}x{_bucket(k)}"
+    return base if layout == "nn" else f"{base}/{layout}"
 
 
 def _load(path: str) -> dict:
@@ -78,16 +83,20 @@ def _load_memoized(path: str) -> dict:
     return data
 
 
-def _cfg_from_entry(e: dict, dtype: str, semiring: str) -> GemmConfig:
+def _cfg_from_entry(e: dict, dtype: str, semiring: str,
+                    layout: str = "nn") -> GemmConfig:
     return GemmConfig(dtype=dtype, semiring=semiring,
                       block_m=e["block_m"], block_n=e["block_n"],
                       block_k=e["block_k"],
+                      transpose_a=layout[0] == "t",
+                      transpose_b=layout[1] == "t",
                       vmem_limit_bytes=e.get("vmem_limit_bytes",
                                              96 * 1024 * 1024))
 
 
 def cached_config(m: int, n: int, k: int, *, dtype: str,
                   semiring: str = "plus_times",
+                  layout: str = "nn",
                   cache_path: Optional[str] = None) -> Optional[GemmConfig]:
     """Cached autotune winner for this problem, or None — never measures.
 
@@ -96,16 +105,21 @@ def cached_config(m: int, n: int, k: int, *, dtype: str,
     how autotune results feed :func:`gemm_hls_tpu.ops.matmul.matmul` when
     the caller passes no config (the analogue of the reference operator
     picking winners from ``build_manager.py`` benchmark CSVs).
+
+    ``layout`` is "nn"/"tn"/"nt"/"tt": transposed layouts have their own
+    block optima (``transpose_a`` puts block_m on the lane dimension) and
+    their own seed buckets; the returned config carries the matching
+    transpose flags.
     """
     from gemm_hls_tpu.models.perf_model import detect_chip
 
     if cache_path is None:
         cache_path = DEFAULT_CACHE
-    key = _key(detect_chip().name, dtype, semiring, m, n, k)
+    key = _key(detect_chip().name, dtype, semiring, m, n, k, layout)
     for path in (cache_path, SEED_CACHE):
         e = _load_memoized(path).get(key)
         if e is not None:
-            cfg = _cfg_from_entry(e, dtype, semiring)
+            cfg = _cfg_from_entry(e, dtype, semiring, layout)
             try:
                 cfg.validate()
             except ValueError:
@@ -321,6 +335,12 @@ def autotune_batched(bsz: int, m: int, n: int, k: int, *,
     b = jax.random.uniform(kb, (bsz, k, n), jnp.float32, 1, 10).astype(jdt)
     jax.block_until_ready((a, b))
     flops = 2.0 * bsz * m * n * k
+    # Small batched problems finish in ~0.1-1 ms; scale the slope's
+    # iteration count so each measurement integrates >= ~1.5 TFLOP
+    # (~10 ms of device work), else the multi-ms transport RTT jitter
+    # swamps the two-point slope.
+    if not interpret:
+        iters = max(iters, min(1000, int(1.5e12 / max(flops, 1))))
 
     best, best_gf = None, -1.0
     for bb in batch_block_candidates(bsz, m, n, k, dtype,
@@ -339,10 +359,14 @@ def autotune_batched(bsz: int, m: int, n: int, k: int, *,
                 status = f"fail:{type(e).__name__}"
                 break
             if ceiling and flops / secs > ceiling:
+                # One impossible round (transport hiccup) doesn't damn
+                # the candidate — skip the sample, keep the others.
                 status = "unreliable_timing"
-                break
+                continue
             samples.append(flops / secs / 1e9)
         gf = sorted(samples)[len(samples) // 2] if samples else None
+        if samples:
+            status = "ok"
         if verbose:
             print(f"  batch_block={bb:4d} -> {status}"
                   + (f" median {gf:.0f} GOp/s of "

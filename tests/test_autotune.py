@@ -70,6 +70,66 @@ def test_cached_config_lookup_and_guards(tmp_path, monkeypatch):
                             cache_path=cache) is None
 
 
+def test_cached_config_layout_buckets(tmp_path):
+    """Transposed layouts consult their own /tn buckets and carry the
+    transpose flags; NN lookups never see layout-tagged entries."""
+    import json
+
+    import gemm_hls_tpu.tools.autotune as at
+    from gemm_hls_tpu.models.perf_model import detect_chip
+
+    chip = detect_chip().name
+    cache = str(tmp_path / "cache.json")
+    with open(cache, "w") as f:
+        json.dump({f"{chip}/float32/plus_times/1024x1024x1024/tn":
+                   {"block_m": 128, "block_n": 256, "block_k": 1024}}, f)
+    hit = at.cached_config(1024, 1024, 1024, dtype="float32", layout="tn",
+                           cache_path=cache)
+    assert hit is not None and hit.transpose_a and not hit.transpose_b
+    assert (hit.block_m, hit.block_n, hit.block_k) == (128, 256, 1024)
+    assert at.cached_config(1024, 1024, 1024, dtype="float32",
+                            cache_path=cache) is None
+    assert at.cached_config(1024, 1024, 1024, dtype="float32", layout="nt",
+                            cache_path=cache) is None
+
+
+def test_matmul_adopts_tn_cached_winner(tmp_path, monkeypatch):
+    """matmul(transpose_a=True, config=None) picks the /tn bucket winner."""
+    import importlib
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    mm = importlib.import_module("gemm_hls_tpu.ops.matmul")
+    import gemm_hls_tpu.tools.autotune as at
+    from gemm_hls_tpu.models.perf_model import detect_chip
+
+    chip = detect_chip().name
+    cache = str(tmp_path / "cache.json")
+    with open(cache, "w") as f:
+        json.dump({f"{chip}/float32/plus_times/128x128x128/tn":
+                   {"block_m": 128, "block_n": 128, "block_k": 128}}, f)
+    monkeypatch.setattr(at, "DEFAULT_CACHE", cache)
+
+    seen = {}
+    orig = mm._mxu_padded
+
+    def spy(a, b, config):
+        seen["blocks"] = (config.block_m, config.block_n, config.block_k)
+        seen["ta"] = config.transpose_a
+        return orig(a, b, config)
+
+    monkeypatch.setattr(mm, "_mxu_padded", spy)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(1, 2, (128, 128)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(1, 2, (128, 128)).astype(np.float32))
+    out = mm.matmul(a, b, transpose_a=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(a).T @ np.asarray(b), rtol=1e-5)
+    assert seen["blocks"] == (128, 128, 128) and seen["ta"]
+
+
 def test_batch_block_candidates_bracket_quantum():
     import gemm_hls_tpu.tools.autotune as at
 

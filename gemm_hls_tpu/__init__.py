@@ -21,7 +21,8 @@ from gemm_hls_tpu.ops.semiring import (
     available_semirings,
 )
 from gemm_hls_tpu.ops.matmul import matmul
-from gemm_hls_tpu.ops.attention import attention, attention_scores
+from gemm_hls_tpu.ops.attention import (attention, attention_scores,
+                                         flash_attention)
 
 __version__ = "0.1.0"
 
@@ -34,5 +35,6 @@ __all__ = [
     "available_semirings",
     "matmul",
     "attention",
+    "flash_attention",
     "attention_scores",
 ]

@@ -90,6 +90,44 @@ def attention_scores(q, k, *, scale: Optional[float] = None,
     return jax.nn.softmax(scores, axis=-1).astype(q.dtype)
 
 
+def flash_attention(q, k, v, *, scale: Optional[float] = None,
+                    causal: bool = False,
+                    config: Optional[GemmConfig] = None,
+                    block_q: int = 512, block_kv: int = 1024,
+                    interpret: Optional[bool] = None):
+    """Per-head attention in ONE kernel: softmax(q·kᵀ·scale)·v with the
+    probability matrix never leaving VMEM (online softmax over streamed
+    KV blocks — ``ops/pallas_flash.py``).
+
+    Versus :func:`attention` (fused scores + separate PV GEMM), HBM
+    traffic drops from O(S²) to O(S·D), lifting the workload from the
+    bandwidth roofline to the MXU roofline; ``causal=True`` also skips
+    fully-masked KV blocks (half the FLOPs at S_q = S_kv).
+
+    Args:
+      q: (B, S_q, D); k, v: (B, S_kv, D).  scale defaults to 1/sqrt(D).
+
+    Returns (B, S_q, D) in q's dtype (or ``config.out_dtype``).
+    """
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.matmul import _resolve_interpret
+    from gemm_hls_tpu.ops.pallas_flash import flash_mha_diff
+
+    if q.ndim != 3:
+        raise ValueError(f"flash_attention expects (B, S, D), got {q.shape}")
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
+    cfg = (config or default_config(str(q.dtype))).replace(
+        dtype=str(q.dtype), out_dtype=str(q.dtype))
+    if interpret is not None:
+        cfg = cfg.replace(interpret=interpret)
+    # Differentiable: custom VJP runs the flash backward kernels
+    # (dq/dk/dv recomputed blockwise from the saved log-sum-exp).
+    return flash_mha_diff(qs, k, v, cfg, causal, block_q, block_kv,
+                          _resolve_interpret(cfg))
+
+
 def attention(q, k, v, *, scale: Optional[float] = None,
               config: Optional[GemmConfig] = None,
               interpret: Optional[bool] = None):

@@ -1,0 +1,563 @@
+"""Flash attention: one Pallas kernel, probabilities never touch HBM.
+
+The CA-tiling idea taken to its limit for the attention workload: the
+fused-scores path (``ops/attention.py``) already fuses the softmax into
+the scores GEMM's writeback — this kernel fuses the *second* GEMM too,
+streaming KV blocks through VMEM while the (block_q, head_dim) output
+accumulator stays stationary, exactly the reference's stationary-C /
+streamed-K schedule (``kernel/Compute.cpp:53-149``) applied twice in a
+row.  HBM traffic drops from O(S²) (the probability matrix round trip)
+to O(S·D): Q, K, V are read once and O written once.
+
+Numerically this is the online-softmax recurrence (the max/sum carries
+``m``/``l`` play the role of the accumulator's running normalization):
+
+    m_new = max(m, rowmax(s_j))
+    p     = exp(s_j - m_new)
+    l     = exp(m - m_new) * l + rowsum(p)
+    acc   = exp(m - m_new) * acc + p @ v_j
+
+with everything in f32 except the two MXU contractions (operand dtype,
+f32 accumulate).  Masked/padded score columns use a large *finite*
+negative value (not -inf) so ``exp(m - m_new)`` can never produce
+``inf - inf = nan`` on rows whose first blocks are fully masked.
+
+Grid = (batch·heads, q-tiles, kv-tiles), kv innermost ("arbitrary" — the
+carries live in VMEM scratch across kv steps).  When the whole KV
+sequence fits one block the kernel takes a scratch-free single-pass
+branch (the analogue of the 2-D GEMM kernel's whole-K fast path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gemm_hls_tpu.config import GemmConfig
+from gemm_hls_tpu.ops.pallas_mxu import _resolve_precision
+
+# Large finite "minus infinity" for masked scores: big enough that
+# exp(x - m) underflows to 0 against any real score, small enough that
+# (mask - mask) = 0 stays exact (no nan) if a row is ever fully masked.
+_MASK = -0.7 * jnp.finfo(jnp.float32).max
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
+                  block_q, block_kv, causal, precision, out_dtype,
+                  save_lse=False):
+    """One (q-tile, kv-tile) step of online-softmax attention.
+
+    ``out_refs`` = (o_ref[, lse_ref], acc_ref, m_ref, l_ref); with
+    ``save_lse`` the per-row log-sum-exp ``m + log(l)`` is emitted as a
+    second output — the residual the backward kernels need to recompute
+    probabilities without re-running the softmax reduction.
+    """
+    if save_lse:
+        o_ref, lse_ref, acc_ref, m_ref, l_ref = out_refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = out_refs
+        lse_ref = None
+    f32 = jnp.float32
+    j = pl.program_id(2) if n_kv_grid > 1 else 0
+    # Hoisted out of the pl.when body: program_id cannot lower inside a
+    # lax.cond branch in interpreter mode.
+    i = pl.program_id(1)
+
+    # Causal block skip: the whole kv block is in the future of the whole
+    # q tile — nothing to do (the grid still steps, but no MXU/VPU work).
+    if causal:
+        live = j * block_kv < (i + 1) * block_q
+    else:
+        live = True
+
+    if n_kv_grid > 1:
+        @pl.when(j == 0)
+        def _init():
+            m_ref[:] = jnp.full_like(m_ref, _MASK)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def step():
+        q = q_ref[0]                       # (block_q, d)
+        k = k_ref[0]                       # (block_kv, d)
+        v = v_ref[0]                       # (block_kv, d)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+            precision=precision)           # (block_q, block_kv)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if kv_rem:
+            # The final kv block overhangs the logical sequence: its
+            # stale score columns are *replaced* (where() discards any
+            # garbage, even nan), and v's stale rows are zeroed — the
+            # masked p is exactly 0 there, but 0 * nan would still
+            # poison the PV contraction (GEMM kernel K-tail rule,
+            # ops/pallas_mxu.py::_mask_k_tail).
+            if n_kv_grid == 1:
+                limit = kv_rem
+            else:
+                limit = jnp.where(j == n_kv_grid - 1, kv_rem, block_kv)
+            s = jnp.where(col < limit, s, _MASK)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            v = jnp.where(ridx < limit, v, jnp.zeros((), v.dtype))
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            q_pos = i * block_q + row
+            kv_pos = j * block_kv + col
+            s = jnp.where(kv_pos <= q_pos, s, _MASK)
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)      # (block_q, 1)
+
+        if n_kv_grid == 1:
+            p = jnp.exp(s - m_cur)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            o_ref[0] = (pv / l).astype(out_dtype)
+            if save_lse:
+                lse_ref[0] = m_cur + jnp.log(l)
+            return
+
+        m_prev = m_ref[:][:, :1]
+        l_prev = l_ref[:][:, :1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)                  # (block_q, 1)
+        l_new = corr * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision)
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    if causal and n_kv_grid > 1:
+        @pl.when(live)
+        def _():
+            step()
+    else:
+        step()
+
+    if n_kv_grid > 1:
+        @pl.when(j == n_kv_grid - 1)
+        def _store():
+            l_fin = l_ref[:][:, :1]
+            o_ref[0] = (acc_ref[:] / l_fin).astype(out_dtype)
+            if save_lse:
+                lse_ref[0] = m_ref[:][:, :1] + jnp.log(l_fin)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "causal", "block_q", "block_kv", "interpret", "save_lse"))
+def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
+              block_q=512, block_kv=1024, interpret=False,
+              save_lse=False):
+    """Fused attention o = softmax(q·kᵀ)·v per head, streaming KV.
+
+    Args:
+      q: (B, S_q, D) — scale must already be folded into q.
+      k, v: (B, S_kv, D).
+      causal: apply the autoregressive mask (position-aligned at 0; fully
+        future kv blocks are skipped, halving work for S_q = S_kv).
+      block_q / block_kv: VMEM tile sizes along the two sequence axes.
+
+    Returns (B, S_q, D) in ``cfg.out_dtype``.
+
+    Shapes need not be tile-aligned: Mosaic bounds-masks the q-edge
+    stores, and overhanging kv rows get masked scores + zeroed V rows
+    in-register (the GEMM kernel's edge rules).  The head dim is never
+    gridded, so Mosaic's own logical-extent handling covers a non-128
+    D.
+    """
+    bsz, s_q, d = q.shape
+    if k.ndim != 3 or v.ndim != 3 or k.shape != v.shape or \
+            k.shape[0] != bsz or k.shape[2] != d:
+        raise ValueError(f"flash_mha shapes: {q.shape} x {k.shape} "
+                         f"x {v.shape}")
+    s_kv = k.shape[1]
+    block_q = min(block_q, s_q)
+    block_kv = min(block_kv, s_kv)
+    n_q = pl.cdiv(s_q, block_q)
+    n_kv = pl.cdiv(s_kv, block_kv)
+    grid = (bsz, n_q, n_kv)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        n_kv_grid=n_kv,
+        kv_rem=s_kv % block_kv,
+        block_q=block_q,
+        block_kv=block_kv,
+        causal=causal,
+        precision=_resolve_precision(cfg),
+        out_dtype=cfg.jout_dtype,
+        save_lse=save_lse,
+    )
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        )
+        flops = 4 * bsz * s_q * s_kv * d // (2 if causal else 1)
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + q.size * jnp.dtype(cfg.jout_dtype).itemsize,
+            transcendentals=bsz * s_q * s_kv,
+        )
+
+    out_specs = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bsz, s_q, d), cfg.jout_dtype)
+    if save_lse:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, block_q, 1),
+                                  lambda b, i, j: (b, i, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bsz, s_q, 1), jnp.float32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+        name=f"flash_mha_{block_q}x{block_kv}x{d}",
+        **kwargs,
+    )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Backward: the flash recipe — recompute score blocks from the saved
+# (q·scale, k) and the forward's per-row log-sum-exp, so the O(S²)
+# probability matrix is never stored for the backward either.  Two
+# kernels, each a streamed accumulation in VMEM scratch:
+#
+#   dq_i  = Σ_j  ds_ij · k_j          (kv streamed, dq stationary)
+#   dk_j  = Σ_i  ds_ijᵀ · qs_i        (q streamed, dk/dv stationary)
+#   dv_j  = Σ_i  p_ijᵀ  · do_i
+#
+# with p = exp(s − lse) and ds = p ⊙ (do·vᵀ − Δ), Δ_i = Σ_d do·o (the
+# softmax-Jacobian row term), computed once in XLA.  5 MXU contractions
+# total vs the forward's 2 — the standard flash backward cost.
+# ---------------------------------------------------------------------------
+
+
+def _zero_rows(x, limit):
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(idx < limit, x, jnp.zeros((), x.dtype))
+
+
+def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
+                    block_q, block_kv, causal, precision):
+    """Shared block recompute: returns (p, ds, k, v) with p/ds f32
+    (block_q, block_kv) and k/v row-zeroed at the kv overhang.
+
+    Masked columns (kv overhang, causal future) get p = ds = 0 — stale k
+    rows are discarded by the where() on s, and stale k/v rows are zeroed
+    before they enter any further contraction (0·nan from a stale lane
+    would otherwise poison whole gradient tiles; same rule as
+    ``ops/pallas_mxu.py::_mask_k_tail``).
+    """
+    f32 = jnp.float32
+    s = jax.lax.dot_general(
+        qs, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=precision)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    if kv_rem:
+        if n_kv_grid == 1:
+            limit = kv_rem
+        else:
+            limit = jnp.where(j == n_kv_grid - 1, kv_rem, block_kv)
+        s = jnp.where(col < limit, s, _MASK)
+        k = _zero_rows(k, limit)
+        v = _zero_rows(v, limit)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(j * block_kv + col <= i * block_q + row, s, _MASK)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=precision)
+    ds = p * (dp - delta)
+    return p, ds, k, v
+
+
+def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, acc_ref, *, n_kv_grid, kv_rem, block_q,
+                         block_kv, causal, precision, out_dtype):
+    j = pl.program_id(2) if n_kv_grid > 1 else 0
+    i = pl.program_id(1)
+
+    if n_kv_grid > 1:
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def step():
+        _, ds, kz, _ = _recompute_p_ds(
+            qs_ref[0], k_ref[0], v_ref[0], do_ref[0].astype(jnp.float32),
+            lse_ref[0], delta_ref[0], j=j, i=i, n_kv_grid=n_kv_grid,
+            kv_rem=kv_rem, block_q=block_q, block_kv=block_kv,
+            causal=causal, precision=precision)
+        contrib = jax.lax.dot_general(
+            ds.astype(kz.dtype), kz,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        if n_kv_grid == 1:
+            dq_ref[0] = contrib.astype(out_dtype)
+        else:
+            acc_ref[:] += contrib
+
+    if causal and n_kv_grid > 1:
+        @pl.when(j * block_kv < (i + 1) * block_q)
+        def _():
+            step()
+    else:
+        step()
+
+    if n_kv_grid > 1:
+        @pl.when(j == n_kv_grid - 1)
+        def _store():
+            dq_ref[0] = acc_ref[:].astype(out_dtype)
+
+
+def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, n_q_grid,
+                          n_kv_grid, q_rem, kv_rem, block_q, block_kv,
+                          causal, precision, out_dtype):
+    """Grid (batch, kv-tiles, q-tiles): q streamed innermost, the
+    (block_kv, d) dk/dv accumulators stationary."""
+    j = pl.program_id(1)
+    i = pl.program_id(2) if n_q_grid > 1 else 0
+
+    if n_q_grid > 1:
+        @pl.when(i == 0)
+        def _init():
+            dk_acc[:] = jnp.zeros_like(dk_acc)
+            dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def step():
+        qs = qs_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        p, ds, _, _ = _recompute_p_ds(
+            qs, k_ref[0], v_ref[0], do, lse_ref[0], delta_ref[0],
+            j=j, i=i, n_kv_grid=n_kv_grid,
+            kv_rem=kv_rem, block_q=block_q, block_kv=block_kv,
+            causal=causal, precision=precision)
+        if q_rem:
+            # The q overhang is NOT row-local here: garbage q rows feed
+            # the over-q contractions below.  Zero p/ds rows AND the
+            # stale qs/do rows themselves — 0·nan in the contraction
+            # would still poison the whole dk/dv tile.
+            is_last = i == n_q_grid - 1
+            limit = jnp.where(is_last, q_rem, block_q)
+            row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+            keep = row < limit
+            p = jnp.where(keep, p, 0.0)
+            ds = jnp.where(keep, ds, 0.0)
+            qs = _zero_rows(qs, limit)
+            do = _zero_rows(do, limit)
+        dv_c = jax.lax.dot_general(
+            p.astype(do_ref.dtype), do.astype(do_ref.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        dk_c = jax.lax.dot_general(
+            ds.astype(qs.dtype), qs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        if n_q_grid == 1:
+            dk_ref[0] = dk_c.astype(out_dtype)
+            dv_ref[0] = dv_c.astype(out_dtype)
+        else:
+            dk_acc[:] += dk_c
+            dv_acc[:] += dv_c
+
+    if causal and n_q_grid > 1:
+        @pl.when((i + 1) * block_q > j * block_kv)
+        def _():
+            step()
+    else:
+        step()
+
+    if n_q_grid > 1:
+        @pl.when(i == n_q_grid - 1)
+        def _store():
+            dk_ref[0] = dk_acc[:].astype(out_dtype)
+            dv_ref[0] = dv_acc[:].astype(out_dtype)
+
+
+def _bwd_common(q, k, v, cfg, block_q, block_kv):
+    bsz, s_q, d = q.shape
+    s_kv = k.shape[1]
+    block_q = min(block_q, s_q)
+    block_kv = min(block_kv, s_kv)
+    return bsz, s_q, s_kv, d, block_q, block_kv
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "causal", "block_q", "block_kv", "interpret"))
+def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
+                     causal=False, block_q=512, block_kv=1024,
+                     interpret=False):
+    """dL/d(q·scale): grid (batch, q-tiles, kv-tiles), kv streamed."""
+    bsz, s_q, s_kv, d, block_q, block_kv = _bwd_common(
+        qs, k, v, cfg, block_q, block_kv)
+    n_q = pl.cdiv(s_q, block_q)
+    n_kv = pl.cdiv(s_kv, block_kv)
+
+    kernel = functools.partial(
+        _flash_bwd_dq_kernel,
+        n_kv_grid=n_kv, kv_rem=s_kv % block_kv,
+        block_q=block_q, block_kv=block_kv, causal=causal,
+        precision=_resolve_precision(cfg), out_dtype=qs.dtype)
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes)
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=6 * bsz * s_q * s_kv * d // (2 if causal else 1),
+            bytes_accessed=(qs.size + k.size + v.size + do.size) *
+            qs.dtype.itemsize + qs.size * qs.dtype.itemsize,
+            transcendentals=bsz * s_q * s_kv)
+
+    qi = lambda b, i, j: (b, i, 0)   # noqa: E731
+    kvi = lambda b, i, j: (b, j, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), qi,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+        name=f"flash_bwd_dq_{block_q}x{block_kv}x{d}",
+        **kwargs,
+    )(qs, k, v, do, lse, delta)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "causal", "block_q", "block_kv", "interpret"))
+def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
+                      causal=False, block_q=512, block_kv=1024,
+                      interpret=False):
+    """(dL/dk, dL/dv): grid (batch, kv-tiles, q-tiles), q streamed."""
+    bsz, s_q, s_kv, d, block_q, block_kv = _bwd_common(
+        qs, k, v, cfg, block_q, block_kv)
+    n_q = pl.cdiv(s_q, block_q)
+    n_kv = pl.cdiv(s_kv, block_kv)
+
+    kernel = functools.partial(
+        _flash_bwd_dkv_kernel,
+        n_q_grid=n_q, n_kv_grid=n_kv,
+        q_rem=s_q % block_q, kv_rem=s_kv % block_kv,
+        block_q=block_q, block_kv=block_kv, causal=causal,
+        precision=_resolve_precision(cfg), out_dtype=k.dtype)
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=cfg.vmem_limit_bytes)
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=10 * bsz * s_q * s_kv * d // (2 if causal else 1),
+            bytes_accessed=(qs.size + k.size + v.size + do.size) *
+            qs.dtype.itemsize + 2 * k.size * k.dtype.itemsize,
+            transcendentals=bsz * s_q * s_kv)
+
+    qi = lambda b, j, i: (b, i, 0)   # noqa: E731
+    kvi = lambda b, j, i: (b, j, 0)  # noqa: E731
+    kv_spec = pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, n_kv, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
+            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(kv_spec, kv_spec),
+        out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32),
+                        pltpu.VMEM((block_kv, d), jnp.float32)],
+        interpret=interpret,
+        name=f"flash_bwd_dkv_{block_q}x{block_kv}x{d}",
+        **kwargs,
+    )(qs, k, v, do, lse, delta)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable front: custom VJP over the pre-scaled operands.  The
+# scale fold (qs = q * scale) lives OUTSIDE this boundary, so plain
+# autodiff routes d(qs) -> dq = d(qs) * scale for free.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def flash_mha_diff(qs, k, v, cfg: GemmConfig, causal, block_q, block_kv,
+                   interpret):
+    return flash_mha(qs, k, v, cfg=cfg, causal=causal, block_q=block_q,
+                     block_kv=block_kv, interpret=interpret)
+
+
+def _flash_diff_fwd(qs, k, v, cfg, causal, block_q, block_kv, interpret):
+    o, lse = flash_mha(qs, k, v, cfg=cfg, causal=causal, block_q=block_q,
+                       block_kv=block_kv, interpret=interpret,
+                       save_lse=True)
+    return o, (qs, k, v, o, lse)
+
+
+def _flash_diff_bwd(cfg, causal, block_q, block_kv, interpret, res, do):
+    qs, k, v, o, lse = res
+    # Softmax-Jacobian row term Δ = Σ_d do ⊙ o, in f32 (one cheap
+    # elementwise pass XLA fuses; the kernels read it per q-row).
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    do_c = do.astype(qs.dtype)
+    dqs = flash_mha_bwd_dq(qs, k, v, do_c, lse, delta, cfg=cfg,
+                           causal=causal, block_q=block_q,
+                           block_kv=block_kv, interpret=interpret)
+    dk, dv = flash_mha_bwd_dkv(qs, k, v, do_c, lse, delta, cfg=cfg,
+                               causal=causal, block_q=block_q,
+                               block_kv=block_kv, interpret=interpret)
+    return dqs, dk, dv
+
+
+flash_mha_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

@@ -1,0 +1,139 @@
+"""Flash attention: one-kernel streaming softmax(QKᵀ)V + flash backward.
+
+CPU interpreter-mode validation (the reference's software-simulation
+philosophy, ``test/TestSimulation.cpp``): same kernel source, f64-backed
+numpy oracle, deliberately unaligned sizes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gemm_hls_tpu.ops.attention import flash_attention
+
+RNG = np.random.default_rng(5)
+
+
+def _ref(q, k, v, scale=None, causal=False):
+    q64 = np.asarray(q, np.float64)
+    k64 = np.asarray(k, np.float64)
+    v64 = np.asarray(v, np.float64)
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    s = q64 @ k64.transpose(0, 2, 1) * scale
+    if causal:
+        sq, sk = s.shape[1:]
+        s = np.where(np.tril(np.ones((sq, sk), bool)), s, -np.inf)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    return p @ v64
+
+
+CASES = [
+    # (B, Sq, Skv, D, bq, bkv, causal)
+    (2, 128, 128, 64, 64, 64, False),      # streamed kv, aligned
+    (2, 128, 128, 64, 64, 64, True),       # causal + block skip
+    (1, 96, 150, 64, 64, 64, False),       # both seqs unaligned
+    (1, 150, 150, 64, 64, 64, True),       # causal + kv overhang
+    (2, 64, 256, 64, 64, 256, False),      # single-kv-block branch
+    (1, 50, 70, 40, 32, 32, False),        # odd head dim
+    (1, 1, 17, 64, 512, 1024, False),      # degenerate decode shape
+]
+
+
+@pytest.mark.parametrize("b,sq,skv,d,bq,bkv,causal", CASES)
+def test_flash_forward(b, sq, skv, d, bq, bkv, causal):
+    q = RNG.uniform(-2, 2, (b, sq, d)).astype(np.float32)
+    k = RNG.uniform(-2, 2, (b, skv, d)).astype(np.float32)
+    v = RNG.uniform(-2, 2, (b, skv, d)).astype(np.float32)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          causal=causal, block_q=bq, block_kv=bkv,
+                          interpret=True)
+    assert out.shape == (b, sq, d)
+    np.testing.assert_allclose(np.asarray(out), _ref(q, k, v, causal=causal),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_custom_scale():
+    q = RNG.uniform(-1, 1, (2, 64, 32)).astype(np.float32)
+    k = RNG.uniform(-1, 1, (2, 64, 32)).astype(np.float32)
+    v = RNG.uniform(-1, 1, (2, 64, 32)).astype(np.float32)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          scale=0.125, block_q=32, block_kv=32,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref(q, k, v, scale=0.125),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_matches_unfused_attention_path():
+    from gemm_hls_tpu.ops.attention import attention
+
+    q = RNG.uniform(-1, 1, (2, 64, 64)).astype(np.float32)
+    k = RNG.uniform(-1, 1, (2, 64, 64)).astype(np.float32)
+    v = RNG.uniform(-1, 1, (2, 64, 64)).astype(np.float32)
+    a = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        block_q=32, block_kv=32, interpret=True)
+    b = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                  interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("b,sq,skv,d,bq,bkv,causal", [
+    (2, 128, 128, 64, 64, 64, False),
+    (2, 128, 128, 64, 64, 64, True),
+    (1, 96, 150, 64, 64, 64, False),      # unaligned: q_rem + kv_rem paths
+    (1, 150, 150, 64, 64, 64, True),
+    (2, 64, 256, 64, 64, 256, False),     # n_kv == 1 and n_q == 1 branches
+])
+def test_flash_gradients_match_autodiff(b, sq, skv, d, bq, bkv, causal):
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, sq, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, skv, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, skv, d)), jnp.float32)
+    w = jnp.asarray(RNG.uniform(-1, 1, (b, sq, d)), jnp.float32)
+
+    def ours(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal, block_q=bq,
+                                       block_kv=bkv, interpret=True) * w)
+
+    def ref(q, k, v):
+        scale = 1.0 / np.sqrt(d)
+        s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        if causal:
+            s = jnp.where(jnp.tril(jnp.ones((sq, skv), bool)), s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v) * w)
+
+    g_ours = jax.grad(ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_flash_grad_zero_for_future_kv_under_causal():
+    # Gradient must not flow to kv positions strictly after every query.
+    sq, skv = 32, 64
+    q = jnp.asarray(RNG.uniform(-1, 1, (1, sq, 64)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (1, skv, 64)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (1, skv, 64)), jnp.float32)
+
+    def f(k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, block_q=32,
+                                       block_kv=32, interpret=True) ** 2)
+
+    dk, dv = jax.grad(f, argnums=(0, 1))(k, v)
+    # Positions >= sq are never attended (q_pos max = sq-1 < kv_pos).
+    np.testing.assert_array_equal(np.asarray(dk[0, sq:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(dv[0, sq:]), 0.0)
+
+
+def test_flash_rejects_bad_shapes():
+    q = jnp.zeros((2, 16, 8))
+    with pytest.raises(ValueError):
+        flash_attention(q, jnp.zeros((2, 16, 4)), jnp.zeros((2, 16, 4)),
+                        interpret=True)
+    with pytest.raises(ValueError):
+        flash_attention(jnp.zeros((16, 8)), jnp.zeros((16, 8)),
+                        jnp.zeros((16, 8)), interpret=True)

@@ -299,9 +299,43 @@ def main():
                 f"{gflops(mp_size, mp_size, mp_size, t_mp):.0f} GOp/s")
         except Exception as e:  # noqa: BLE001
             log(f"min_plus bench FAILED: {e}")
+
+        # Flash attention at the per-head workload (32 heads, 1024^2
+        # scores, head_dim 128): one-kernel streaming softmax(QK^T)V vs
+        # jax.nn.dot_product_attention.  Both sides produce the real
+        # (B, S, D) output — consumer-matched, no fusion elision possible.
+        flash_tf = dpa_tf = None
+        try:
+            from gemm_hls_tpu.ops.attention import flash_attention
+
+            fb, fs, fd = 32, 1024, 128
+            fl_flops = 4 * fb * fs * fs * fd
+            frng = np.random.default_rng(5)
+            qa = jnp.asarray(frng.standard_normal((fb, fs, fd)),
+                             jnp.bfloat16)
+            ka = jnp.asarray(frng.standard_normal((fb, fs, fd)),
+                             jnp.bfloat16)
+            va = jnp.asarray(frng.standard_normal((fb, fs, fd)),
+                             jnp.bfloat16)
+            fl_fn = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+            dpa_fn = jax.jit(lambda q, k, v: jax.nn.dot_product_attention(
+                q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
+                v.transpose(1, 0, 2)[None],
+                scale=1.0 / np.sqrt(fd))[0].transpose(1, 0, 2))
+            # ~120 iters integrates ~2 TFLOP per reading (RTT-robust).
+            t_fl = time_fn(fl_fn, [(qa, ka, va)], iters=120)
+            flash_tf = fl_flops / t_fl / 1e12
+            t_dpa = time_fn(dpa_fn, [(qa, ka, va)], iters=120)
+            dpa_tf = fl_flops / t_dpa / 1e12
+            log(f"flash attention {fb}x{fs}^2x{fd}: {t_fl*1e3:.2f} ms -> "
+                f"{flash_tf:.1f} TF (jax.nn.dpa: {dpa_tf:.1f} TF, "
+                f"ratio {flash_tf/dpa_tf:.2f})")
+        except Exception as e:  # noqa: BLE001
+            log(f"flash attention bench FAILED: {e}")
     else:
         int8_gf, t_mp, oz_gf = None, None, None
         i8x2_gf = i8x3_gf = i8x4_gf = xla_int8_gf = None
+        flash_tf = dpa_tf = None
 
     # Headline fp32: fastest mode passing the reference's 1e-3 contract.
     passing = {name: r for name, r in f32_rate.items()
@@ -337,6 +371,10 @@ def main():
         "min_plus_4096_vpu_gops": round(
             gflops(4096, 4096, 4096, t_mp), 1) if t_mp else None,
         "f64_ozaki_2048_gflops": round(oz_gf, 1) if oz_gf else None,
+        "attention_flash_tf": round(flash_tf, 1) if flash_tf else None,
+        "attention_dpa_tf": round(dpa_tf, 1) if dpa_tf else None,
+        "attention_vs_dpa": (round(flash_tf / dpa_tf, 2)
+                             if flash_tf and dpa_tf else None),
         "chip": chip.name,
     }
     if unreliable:

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--blocks", default=None,
                     help="comma list of bq:bkv pairs to sweep, e.g. "
                     "256:1024,512:512")
+    ap.add_argument("--grad", action="store_true",
+                    help="benchmark the full fwd+bwd step (value_and_grad "
+                    "wrt q, k, v) instead of the forward")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +84,21 @@ def main():
             lambda q, k, v, bq=bq, bkv=bkv: flash_attention(
                 q, k, v, causal=args.causal, block_q=bq, block_kv=bkv))
 
+    if args.grad:
+        # Full training step: value + dq/dk/dv.  5 backward contractions
+        # + 2 forward = 7 GEMM-equivalents on the flash side; count the
+        # same nominal flops for every impl (ratios stay comparable).
+        def as_grad(fn):
+            def g(q, k, v):
+                val, grads = jax.value_and_grad(
+                    lambda q, k, v: jnp.sum(fn(q, k, v)
+                                            .astype(jnp.float32) ** 2),
+                    argnums=(0, 1, 2))(q, k, v)
+                return grads[0]
+            return jax.jit(g)
+        impls = {name: as_grad(fn) for name, fn in impls.items()}
+        flops *= 3.5  # 7 contractions vs the forward's 2
+
     # Verify each against f64-ish numpy before timing.
     qf = np.asarray(q, np.float32)
     kf = np.asarray(k, np.float32)
@@ -93,11 +111,20 @@ def main():
 
     rows = []
     results = {name: [] for name in impls}
-    for name, fn in impls.items():
-        out = np.asarray(fn(q, k, v), np.float32)
-        err = np.max(np.abs(out - oref)) / np.max(np.abs(oref))
-        print(f"verify {name}: rel {err:.2e}"
-              + ("  !! BAD" if err > 0.05 else ""), flush=True)
+    if args.grad:
+        # Cross-check every impl's dq against the XLA composition's.
+        gref = np.asarray(impls["xla_composition"](q, k, v), np.float32)
+        for name, fn in impls.items():
+            err = (np.max(np.abs(np.asarray(fn(q, k, v), np.float32)
+                                 - gref)) / np.max(np.abs(gref)))
+            print(f"verify {name} (dq vs xla): rel {err:.2e}"
+                  + ("  !! BAD" if err > 0.05 else ""), flush=True)
+    else:
+        for name, fn in impls.items():
+            out = np.asarray(fn(q, k, v), np.float32)
+            err = np.max(np.abs(out - oref)) / np.max(np.abs(oref))
+            print(f"verify {name}: rel {err:.2e}"
+                  + ("  !! BAD" if err > 0.05 else ""), flush=True)
 
     # Integrate >= ~2 TFLOP per reading so multi-ms transport jitter
     # cancels (the batched-suite lesson, docs/BENCHMARKS.md).

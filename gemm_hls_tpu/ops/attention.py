@@ -93,7 +93,7 @@ def attention_scores(q, k, *, scale: Optional[float] = None,
 def flash_attention(q, k, v, *, scale: Optional[float] = None,
                     causal: bool = False,
                     config: Optional[GemmConfig] = None,
-                    block_q: int = 512, block_kv: int = 1024,
+                    block_q: int = 512, block_kv: int = 2048,
                     interpret: Optional[bool] = None):
     """Per-head attention in ONE kernel: softmax(q·kᵀ·scale)·v with the
     probability matrix never leaving VMEM (online softmax over streamed

@@ -158,7 +158,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "causal", "block_q", "block_kv", "interpret", "save_lse"))
 def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
-              block_q=512, block_kv=1024, interpret=False,
+              block_q=512, block_kv=2048, interpret=False,
               save_lse=False):
     """Fused attention o = softmax(q·kᵀ)·v per head, streaming KV.
 
@@ -421,7 +421,7 @@ def _bwd_common(q, k, v, cfg, block_q, block_kv):
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "causal", "block_q", "block_kv", "interpret"))
 def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
-                     causal=False, block_q=512, block_kv=1024,
+                     causal=False, block_q=512, block_kv=2048,
                      interpret=False):
     """dL/d(q·scale): grid (batch, q-tiles, kv-tiles), kv streamed."""
     bsz, s_q, s_kv, d, block_q, block_kv = _bwd_common(
@@ -472,7 +472,7 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "causal", "block_q", "block_kv", "interpret"))
 def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
-                      causal=False, block_q=512, block_kv=1024,
+                      causal=False, block_q=512, block_kv=2048,
                       interpret=False):
     """(dL/dk, dL/dv): grid (batch, kv-tiles, q-tiles), q streamed."""
     bsz, s_q, s_kv, d, block_q, block_kv = _bwd_common(

@@ -1,0 +1,109 @@
+"""Ring flash attention: sequence-parallel attention over the device mesh.
+
+The context-parallel strategy for sequences too long for one chip's HBM
+(or one chip's FLOPs): Q/K/V are sharded over the sequence axis, each
+device runs the flash kernel against its resident KV shard, and the KV
+shards rotate around the ICI ring (``jax.lax.ppermute``) — the chip-level
+lift of the flash kernel's own streamed-KV schedule, exactly as the
+SUMMA/Cannon family lifts the CA-GEMM K-streaming loop
+(``kernel/Compute.cpp:53-149`` → ``parallel/summa.py``).
+
+Per-step partials are *normalized* flash outputs with their per-row
+log-sum-exp (``flash_mha(save_lse=True)``); cross-shard combination is
+the associative log-sum-exp merge
+
+    lse = logaddexp(lse_a, lse_b)
+    o   = o_a·exp(lse_a − lse) + o_b·exp(lse_b − lse)
+
+which is exact regardless of arrival order, so the ring needs no global
+max pre-pass.  XLA overlaps each step's ppermute with the next flash
+call where the schedule allows (async collective permute).
+
+Forward/inference path (the backward through a ppermute ring needs the
+reverse rotation schedule; training setups shard batch/heads with
+``models/mlp``-style dp/tp instead — see ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gemm_hls_tpu.config import GemmConfig, default_config
+
+
+def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
+                         scale: Optional[float] = None,
+                         block_q: int = 512, block_kv: int = 2048,
+                         config: Optional[GemmConfig] = None,
+                         interpret: Optional[bool] = None):
+    """softmax(q·kᵀ·scale)·v with the sequence axis sharded over ``axis``.
+
+    Args:
+      q, k, v: (B, S, D) global arrays (any sharding; re-placed to
+        P(None, axis, None) — batch/heads replicated, sequence sharded).
+      mesh: the device mesh; ``axis`` names the ring dimension.
+      scale: score scale, default 1/sqrt(D).
+
+    Returns (B, S, D) in q's dtype, sequence-sharded like the inputs.
+
+    S must divide the ring size.  Bidirectional (non-causal) attention:
+    every device sees every KV shard after ``ring_size`` rotations.
+    """
+    from jax.sharding import NamedSharding
+
+    from gemm_hls_tpu.ops.matmul import _resolve_interpret
+    from gemm_hls_tpu.ops.pallas_flash import flash_mha
+
+    if q.ndim != 3 or k.shape != v.shape or k.shape[0] != q.shape[0] or \
+            k.shape[2] != q.shape[2]:
+        raise ValueError(
+            f"ring_flash_attention shapes: {q.shape} x {k.shape} x {v.shape}")
+    n_ring = mesh.shape[axis]
+    s_q, s_kv = q.shape[1], k.shape[1]
+    if s_q % n_ring or s_kv % n_ring:
+        raise ValueError(f"sequence lengths ({s_q}, {s_kv}) must divide "
+                         f"the ring size {n_ring}")
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+
+    cfg = (config or default_config(str(q.dtype))).replace(
+        dtype=str(q.dtype), out_dtype="float32")
+    if interpret is not None:
+        cfg = cfg.replace(interpret=interpret)
+    run_interpret = _resolve_interpret(cfg)
+    perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
+
+    def local(q_blk, k_blk, v_blk):
+        qs = (q_blk * jnp.asarray(scale, q_blk.dtype)).astype(q_blk.dtype)
+        bsz, s_loc, d = qs.shape
+
+        def body(_, carry):
+            o, lse, k_cur, v_cur = carry
+            o_p, lse_p = flash_mha(qs, k_cur, v_cur, cfg=cfg,
+                                   block_q=block_q, block_kv=block_kv,
+                                   interpret=run_interpret, save_lse=True)
+            lse_new = jnp.logaddexp(lse, lse_p)
+            o = (o * jnp.exp(lse - lse_new)
+                 + o_p * jnp.exp(lse_p - lse_new))
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            return o, lse_new, k_cur, v_cur
+
+        o0 = jnp.zeros((bsz, s_loc, d), jnp.float32)
+        lse0 = jnp.full((bsz, s_loc, 1), -jnp.inf, jnp.float32)
+        o, _, _, _ = jax.lax.fori_loop(
+            0, n_ring, body, (o0, lse0, k_blk, v_blk))
+        return o.astype(q_blk.dtype)
+
+    spec = P(None, axis, None)
+    q = jax.device_put(q, NamedSharding(mesh, spec))
+    k = jax.device_put(k, NamedSharding(mesh, spec))
+    v = jax.device_put(v, NamedSharding(mesh, spec))
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return fn(q, k, v)

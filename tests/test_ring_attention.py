@@ -1,0 +1,84 @@
+"""Ring flash attention on the virtual CPU mesh vs the single-device
+oracle — same philosophy as the SUMMA/Cannon tests (run the real
+decomposition + combination logic, no hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gemm_hls_tpu.parallel import make_mesh, ring_flash_attention
+
+RNG = np.random.default_rng(5)
+
+
+def _ref(q, k, v, scale=None):
+    q64 = np.asarray(q, np.float64)
+    k64 = np.asarray(k, np.float64)
+    v64 = np.asarray(v, np.float64)
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    s = q64 @ k64.transpose(0, 2, 1) * scale
+    e = np.exp(s - s.max(-1, keepdims=True))
+    return (e / e.sum(-1, keepdims=True)) @ v64
+
+
+@pytest.mark.parametrize("ring,b,s,d,bq,bkv", [
+    (8, 2, 256, 64, 32, 32),      # 8-chip ring, 32-token shards
+    (4, 1, 128, 32, 32, 32),
+    (2, 2, 128, 64, 64, 64),      # single-kv-block per shard
+])
+def test_ring_matches_oracle(ring, b, s, d, bq, bkv):
+    mesh = make_mesh((ring,), ("x",))
+    q = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    out = ring_flash_attention(q, k, v, mesh, block_q=bq, block_kv=bkv,
+                               interpret=True)
+    assert out.shape == (b, s, d)
+    np.testing.assert_allclose(np.asarray(out), _ref(q, k, v),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ring_matches_single_device_flash():
+    from gemm_hls_tpu.ops.attention import flash_attention
+
+    mesh = make_mesh((4,), ("x",))
+    q = jnp.asarray(RNG.uniform(-1, 1, (2, 128, 64)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (2, 128, 64)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (2, 128, 64)), jnp.float32)
+    ours = ring_flash_attention(q, k, v, mesh, block_q=32, block_kv=32,
+                                interpret=True)
+    ref = flash_attention(q, k, v, block_q=32, block_kv=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ring_cross_attention_lengths():
+    # S_q != S_kv: KV ring rotates independently of the q shard length.
+    mesh = make_mesh((4,), ("x",))
+    q = jnp.asarray(RNG.uniform(-1, 1, (1, 64, 32)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (1, 256, 32)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (1, 256, 32)), jnp.float32)
+    out = ring_flash_attention(q, k, v, mesh, block_q=16, block_kv=64,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref(q, k, v),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ring_rejects_indivisible_sequence():
+    mesh = make_mesh((8,), ("x",))
+    q = jnp.zeros((1, 100, 32))
+    with pytest.raises(ValueError):
+        ring_flash_attention(q, q, q, mesh, interpret=True)
+
+
+def test_ring_custom_scale():
+    mesh = make_mesh((2,), ("x",))
+    q = jnp.asarray(RNG.uniform(-1, 1, (1, 64, 32)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (1, 64, 32)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (1, 64, 32)), jnp.float32)
+    out = ring_flash_attention(q, k, v, mesh, scale=0.1, block_q=32,
+                               block_kv=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref(q, k, v, scale=0.1),
+                               rtol=1e-4, atol=1e-5)

@@ -105,16 +105,37 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
     fully-masked KV blocks (half the FLOPs at S_q = S_kv).
 
     Args:
-      q: (B, S_q, D); k, v: (B, S_kv, D).  scale defaults to 1/sqrt(D).
+      q: (B, S_q, D) heads-major, or (batch, S_q, H, D) in the 4-D
+        ``jax.nn.dot_product_attention`` layout (auto-detected; the
+        result comes back in the same layout).
+      k, v: (B_kv, S_kv, D) / (batch, S_kv, H_kv, D).  Grouped-query /
+        multi-query attention: the kv head count may divide q's — each
+        group of q heads reads the shared kv head via the kernel's
+        BlockSpec index map (no materialized broadcast), and the
+        backward folds the group's dk/dv onto the shared head.
+      scale: score scale, defaults to 1/sqrt(D).
 
-    Returns (B, S_q, D) in q's dtype (or ``config.out_dtype``).
+    Returns attention output in q's layout and dtype.
     """
     from gemm_hls_tpu.config import default_config
     from gemm_hls_tpu.ops.matmul import _resolve_interpret
     from gemm_hls_tpu.ops.pallas_flash import flash_mha_diff
 
+    four_d = q.ndim == 4
+    if four_d:
+        # (batch, seq, heads, dim) -> heads-major (batch*heads, seq, dim).
+        if k.ndim != 4 or v.ndim != 4:
+            raise ValueError(f"mixed layouts: {q.shape} x {k.shape}")
+        nb = q.shape[0]
+        hq = q.shape[2]
+
+        def pack(x):
+            return x.transpose(0, 2, 1, 3).reshape(
+                x.shape[0] * x.shape[2], x.shape[1], x.shape[3])
+        q, k, v = pack(q), pack(k), pack(v)
     if q.ndim != 3:
-        raise ValueError(f"flash_attention expects (B, S, D), got {q.shape}")
+        raise ValueError(f"flash_attention expects (B, S, D) or "
+                         f"(batch, S, H, D), got {q.shape}")
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
@@ -124,8 +145,12 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         cfg = cfg.replace(interpret=interpret)
     # Differentiable: custom VJP runs the flash backward kernels
     # (dq/dk/dv recomputed blockwise from the saved log-sum-exp).
-    return flash_mha_diff(qs, k, v, cfg, causal, block_q, block_kv,
-                          _resolve_interpret(cfg))
+    out = flash_mha_diff(qs, k, v, cfg, causal, block_q, block_kv,
+                         _resolve_interpret(cfg))
+    if four_d:
+        out = out.reshape(nb, hq, out.shape[1],
+                          out.shape[2]).transpose(0, 2, 1, 3)
+    return out
 
 
 def attention(q, k, v, *, scale: Optional[float] = None,

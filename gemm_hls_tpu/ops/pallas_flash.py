@@ -179,9 +179,13 @@ def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
     """
     bsz, s_q, d = q.shape
     if k.ndim != 3 or v.ndim != 3 or k.shape != v.shape or \
-            k.shape[0] != bsz or k.shape[2] != d:
+            k.shape[2] != d or bsz % k.shape[0]:
         raise ValueError(f"flash_mha shapes: {q.shape} x {k.shape} "
                          f"x {v.shape}")
+    # Grouped-query attention: k/v may carry fewer heads than q (their
+    # batch divides q's); each group of `group` q heads reads the same
+    # kv head via the BlockSpec index map — no materialized broadcast.
+    group = bsz // k.shape[0]
     s_kv = k.shape[1]
     block_q = min(block_q, s_q)
     block_kv = min(block_kv, s_kv)
@@ -232,9 +236,11 @@ def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, block_kv, d),
+                         lambda b, i, j, g=group: (b // g, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, block_kv, d),
+                         lambda b, i, j, g=group: (b // g, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -413,9 +419,10 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _bwd_common(q, k, v, cfg, block_q, block_kv):
     bsz, s_q, d = q.shape
     s_kv = k.shape[1]
+    group = bsz // k.shape[0]          # GQA head-group factor (1 = MHA)
     block_q = min(block_q, s_q)
     block_kv = min(block_kv, s_kv)
-    return bsz, s_q, s_kv, d, block_q, block_kv
+    return bsz, s_q, s_kv, d, block_q, block_kv, group
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -424,7 +431,7 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
                      causal=False, block_q=512, block_kv=2048,
                      interpret=False):
     """dL/d(q·scale): grid (batch, q-tiles, kv-tiles), kv streamed."""
-    bsz, s_q, s_kv, d, block_q, block_kv = _bwd_common(
+    bsz, s_q, s_kv, d, block_q, block_kv, group = _bwd_common(
         qs, k, v, cfg, block_q, block_kv)
     n_q = pl.cdiv(s_q, block_q)
     n_kv = pl.cdiv(s_kv, block_kv)
@@ -446,8 +453,8 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
             qs.dtype.itemsize + qs.size * qs.dtype.itemsize,
             transcendentals=bsz * s_q * s_kv)
 
-    qi = lambda b, i, j: (b, i, 0)   # noqa: E731
-    kvi = lambda b, i, j: (b, j, 0)  # noqa: E731
+    qi = lambda b, i, j: (b, i, 0)                 # noqa: E731
+    kvi = lambda b, i, j, g=group: (b // g, j, 0)  # noqa: E731
     return pl.pallas_call(
         kernel,
         grid=(bsz, n_q, n_kv),
@@ -475,7 +482,7 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
                       causal=False, block_q=512, block_kv=2048,
                       interpret=False):
     """(dL/dk, dL/dv): grid (batch, kv-tiles, q-tiles), q streamed."""
-    bsz, s_q, s_kv, d, block_q, block_kv = _bwd_common(
+    bsz, s_q, s_kv, d, block_q, block_kv, group = _bwd_common(
         qs, k, v, cfg, block_q, block_kv)
     n_q = pl.cdiv(s_q, block_q)
     n_kv = pl.cdiv(s_kv, block_kv)
@@ -498,23 +505,29 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
             qs.dtype.itemsize + 2 * k.size * k.dtype.itemsize,
             transcendentals=bsz * s_q * s_kv)
 
-    qi = lambda b, j, i: (b, i, 0)   # noqa: E731
-    kvi = lambda b, j, i: (b, j, 0)  # noqa: E731
-    kv_spec = pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM)
+    qi = lambda b, j, i: (b, i, 0)                    # noqa: E731
+    kv_in = lambda b, j, i, g=group: (b // g, j, 0)   # noqa: E731
+    kv_out = lambda b, j, i: (b, j, 0)                # noqa: E731
+    kv_in_spec = pl.BlockSpec((1, block_kv, d), kv_in,
+                              memory_space=pltpu.VMEM)
+    kv_out_spec = pl.BlockSpec((1, block_kv, d), kv_out,
+                               memory_space=pltpu.VMEM)
+    # dk/dv come back per q-head (bsz rows); for GQA the caller sums each
+    # group of `group` rows down to the kv heads (in XLA, one reshape+sum).
     return pl.pallas_call(
         kernel,
         grid=(bsz, n_kv, n_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
-            kv_spec,
-            kv_spec,
+            kv_in_spec,
+            kv_in_spec,
             pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
         ],
-        out_specs=(kv_spec, kv_spec),
-        out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
-                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        out_specs=(kv_out_spec, kv_out_spec),
+        out_shape=(jax.ShapeDtypeStruct((bsz, s_kv, d), k.dtype),
+                   jax.ShapeDtypeStruct((bsz, s_kv, d), v.dtype)),
         scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32),
                         pltpu.VMEM((block_kv, d), jnp.float32)],
         interpret=interpret,
@@ -557,6 +570,14 @@ def _flash_diff_bwd(cfg, causal, block_q, block_kv, interpret, res, do):
     dk, dv = flash_mha_bwd_dkv(qs, k, v, do_c, lse, delta, cfg=cfg,
                                causal=causal, block_q=block_q,
                                block_kv=block_kv, interpret=interpret)
+    group = qs.shape[0] // k.shape[0]
+    if group > 1:
+        # GQA: the dkv kernel emits per-q-head tiles; fold each group of
+        # q heads onto its shared kv head (accumulate in f32).
+        dk = dk.astype(jnp.float32).reshape(
+            k.shape[0], group, *k.shape[1:]).sum(axis=1).astype(k.dtype)
+        dv = dv.astype(jnp.float32).reshape(
+            v.shape[0], group, *v.shape[1:]).sum(axis=1).astype(v.dtype)
     return dqs, dk, dv
 
 

@@ -137,3 +137,80 @@ def test_flash_rejects_bad_shapes():
     with pytest.raises(ValueError):
         flash_attention(jnp.zeros((16, 8)), jnp.zeros((16, 8)),
                         jnp.zeros((16, 8)), interpret=True)
+
+
+def test_flash_gqa_forward_matches_broadcast():
+    # 8 q heads sharing 2 kv heads == explicitly broadcast kv.
+    hq, hkv, s, d = 8, 2, 128, 64
+    g = hq // hkv
+    q = jnp.asarray(RNG.uniform(-1, 1, (hq, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (hkv, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (hkv, s, d)), jnp.float32)
+    out = flash_attention(q, k, v, block_q=64, block_kv=64, interpret=True)
+    kb = jnp.repeat(k, g, axis=0)
+    vb = jnp.repeat(v, g, axis=0)
+    ref = flash_attention(q, kb, vb, block_q=64, block_kv=64,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_flash_gqa_gradients():
+    hq, hkv, s, d = 4, 2, 96, 32
+    g = hq // hkv
+    q = jnp.asarray(RNG.uniform(-1, 1, (hq, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (hkv, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (hkv, s, d)), jnp.float32)
+
+    def ours(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=32, block_kv=32,
+                                       interpret=True) ** 2)
+
+    def ref(q, k, v):
+        kb = jnp.repeat(k, g, axis=0)
+        vb = jnp.repeat(v, g, axis=0)
+        scale = 1.0 / np.sqrt(d)
+        p = jax.nn.softmax(
+            jnp.einsum("bqd,bkd->bqk", q, kb) * scale, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, vb) ** 2)
+
+    g_ours = jax.grad(ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("dq dk dv".split(), g_ours, g_ref):
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_flash_4d_layout_matches_dpa_semantics():
+    # (batch, seq, heads, dim) in/out, including GQA head counts.
+    nb, s, hq, hkv, d = 2, 64, 4, 2, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (nb, s, hq, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (nb, s, hkv, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (nb, s, hkv, d)), jnp.float32)
+    out = flash_attention(q, k, v, block_q=32, block_kv=32, interpret=True)
+    assert out.shape == q.shape
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_4d_causal_gradient():
+    nb, s, h, d = 1, 96, 2, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (nb, s, h, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (nb, s, h, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (nb, s, h, d)), jnp.float32)
+
+    def ours(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, block_q=32,
+                                       block_kv=32, interpret=True) ** 2)
+
+    def ref(q, k, v):
+        return jnp.sum(
+            jax.nn.dot_product_attention(q, k, v, is_causal=True) ** 2)
+
+    g_ours = jax.grad(ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("dq dk dv".split(), g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)

@@ -19,13 +19,18 @@ which is exact regardless of arrival order, so the ring needs no global
 max pre-pass.  XLA overlaps each step's ppermute with the next flash
 call where the schedule allows (async collective permute).
 
-Forward/inference path (the backward through a ppermute ring needs the
-reverse rotation schedule; training setups shard batch/heads with
-``models/mlp``-style dp/tp instead — see ROADMAP.md).
+Differentiable: the custom VJP runs a second ring in which each KV
+shard's accumulating (dk, dv) travels WITH it — after ``ring_size``
+rotations every shard has collected contributions from every device's
+queries and is back home.  dq accumulates locally.  Both use the
+single-chip flash backward kernels with the forward's *global* per-row
+log-sum-exp, so the recomputed per-shard probabilities are exactly the
+global softmax's slices.
 """
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -53,11 +58,12 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
 
     S must divide the ring size.  Bidirectional (non-causal) attention:
     every device sees every KV shard after ``ring_size`` rotations.
+    Differentiable — the custom VJP runs the gradient ring (see module
+    docstring).
     """
     from jax.sharding import NamedSharding
 
     from gemm_hls_tpu.ops.matmul import _resolve_interpret
-    from gemm_hls_tpu.ops.pallas_flash import flash_mha
 
     if q.ndim != 3 or k.shape != v.shape or k.shape[0] != q.shape[0] or \
             k.shape[2] != q.shape[2]:
@@ -76,15 +82,33 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
     if interpret is not None:
         cfg = cfg.replace(interpret=interpret)
     run_interpret = _resolve_interpret(cfg)
-    perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
 
-    def local(q_blk, k_blk, v_blk):
-        qs = (q_blk * jnp.asarray(scale, q_blk.dtype)).astype(q_blk.dtype)
-        bsz, s_loc, d = qs.shape
+    spec = P(None, axis, None)
+    q = jax.device_put(q, NamedSharding(mesh, spec))
+    k = jax.device_put(k, NamedSharding(mesh, spec))
+    v = jax.device_put(v, NamedSharding(mesh, spec))
+    qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
+    return _ring_core(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+                      run_interpret)
+
+
+def _ring_shifts(axis, n_ring):
+    return [(i, (i + 1) % n_ring) for i in range(n_ring)]
+
+
+def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+                   run_interpret):
+    from gemm_hls_tpu.ops.pallas_flash import flash_mha
+
+    n_ring = mesh.shape[axis]
+    perm = _ring_shifts(axis, n_ring)
+
+    def local(qs_blk, k_blk, v_blk):
+        bsz, s_loc, d = qs_blk.shape
 
         def body(_, carry):
             o, lse, k_cur, v_cur = carry
-            o_p, lse_p = flash_mha(qs, k_cur, v_cur, cfg=cfg,
+            o_p, lse_p = flash_mha(qs_blk, k_cur, v_cur, cfg=cfg,
                                    block_q=block_q, block_kv=block_kv,
                                    interpret=run_interpret, save_lse=True)
             lse_new = jnp.logaddexp(lse, lse_p)
@@ -96,14 +120,83 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
 
         o0 = jnp.zeros((bsz, s_loc, d), jnp.float32)
         lse0 = jnp.full((bsz, s_loc, 1), -jnp.inf, jnp.float32)
-        o, _, _, _ = jax.lax.fori_loop(
+        o, lse, _, _ = jax.lax.fori_loop(
             0, n_ring, body, (o0, lse0, k_blk, v_blk))
-        return o.astype(q_blk.dtype)
+        return o.astype(qs_blk.dtype), lse
 
     spec = P(None, axis, None)
-    q = jax.device_put(q, NamedSharding(mesh, spec))
-    k = jax.device_put(k, NamedSharding(mesh, spec))
-    v = jax.device_put(v, NamedSharding(mesh, spec))
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                       out_specs=spec, check_vma=False)
-    return fn(q, k, v)
+                       out_specs=(spec, spec), check_vma=False)
+    return fn(qs, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _ring_core(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+               run_interpret):
+    o, _ = _ring_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+                          run_interpret)
+    return o
+
+
+def _ring_core_fwd(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+                   run_interpret):
+    o, lse = _ring_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+                            run_interpret)
+    return o, (qs, k, v, o, lse)
+
+
+def _ring_core_bwd(mesh, axis, cfg, block_q, block_kv, run_interpret,
+                   res, do):
+    """Second ring: each KV shard's accumulating (dk, dv) rotates WITH
+    it, so after ring_size steps every shard has collected every
+    device's contribution and is home.  dq accumulates locally.  The
+    per-step gradients come from the single-chip flash backward kernels
+    evaluated against the forward's GLOBAL log-sum-exp."""
+    from gemm_hls_tpu.ops.pallas_flash import (
+        flash_mha_bwd_dq, flash_mha_bwd_dkv,
+    )
+
+    qs, k, v, o, lse = res
+    n_ring = mesh.shape[axis]
+    perm = _ring_shifts(axis, n_ring)
+
+    def local(qs_blk, k_blk, v_blk, do_blk, o_blk, lse_blk):
+        delta = jnp.sum(do_blk.astype(jnp.float32)
+                        * o_blk.astype(jnp.float32), axis=-1,
+                        keepdims=True)
+        do_c = do_blk.astype(qs_blk.dtype)
+
+        def body(_, carry):
+            dq, dk, dv, k_cur, v_cur = carry
+            dq = dq + flash_mha_bwd_dq(
+                qs_blk, k_cur, v_cur, do_c, lse_blk, delta, cfg=cfg,
+                block_q=block_q, block_kv=block_kv,
+                interpret=run_interpret).astype(jnp.float32)
+            dkc, dvc = flash_mha_bwd_dkv(
+                qs_blk, k_cur, v_cur, do_c, lse_blk, delta, cfg=cfg,
+                block_q=block_q, block_kv=block_kv,
+                interpret=run_interpret)
+            dk = dk + dkc.astype(jnp.float32)
+            dv = dv + dvc.astype(jnp.float32)
+            # The shard and its gradient travel together.
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            dk = jax.lax.ppermute(dk, axis, perm)
+            dv = jax.lax.ppermute(dv, axis, perm)
+            return dq, dk, dv, k_cur, v_cur
+
+        z_q = jnp.zeros(qs_blk.shape, jnp.float32)
+        z_kv = jnp.zeros(k_blk.shape, jnp.float32)
+        dq, dk, dv, _, _ = jax.lax.fori_loop(
+            0, n_ring, body, (z_q, z_kv, z_kv, k_blk, v_blk))
+        return (dq.astype(qs_blk.dtype), dk.astype(k_blk.dtype),
+                dv.astype(v_blk.dtype))
+
+    spec = P(None, axis, None)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(spec,) * 6,
+                       out_specs=(spec, spec, spec), check_vma=False)
+    return fn(qs, k, v, do, o, lse)
+
+
+_ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)

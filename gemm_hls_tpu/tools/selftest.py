@@ -222,6 +222,35 @@ def main(argv=None):
         return err < 5e-2, err
     check("bf16 batched gradient (mixed-dtype bwd)", batched_bf16_grad_check)
 
+    def flash_attention_check():
+        # One-kernel flash attention, compiled: causal + GQA (4 q heads
+        # on 2 kv heads), streamed kv (block_kv < S), fwd vs oracle and
+        # a finite backward through the flash dq/dkv kernels.
+        from gemm_hls_tpu.ops.attention import flash_attention
+
+        rng = np.random.default_rng(11)
+        hq, hkv, s, d = 4, 2, 384, 128
+        q = jnp.asarray(rng.standard_normal((hq, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((hkv, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((hkv, s, d)).astype(np.float32))
+        out = jax.jit(lambda q, k, v: flash_attention(
+            q, k, v, causal=True, block_q=128, block_kv=128))(q, k, v)
+        q64 = np.asarray(q, np.float64)
+        k64 = np.repeat(np.asarray(k, np.float64), hq // hkv, axis=0)
+        v64 = np.repeat(np.asarray(v, np.float64), hq // hkv, axis=0)
+        sc = q64 @ k64.transpose(0, 2, 1) / np.sqrt(d)
+        sc = np.where(np.tril(np.ones((s, s), bool)), sc, -np.inf)
+        e = np.exp(sc - sc.max(-1, keepdims=True))
+        exp = (e / e.sum(-1, keepdims=True)) @ v64
+        err = float(np.abs(np.asarray(out, np.float64) - exp).max()
+                    / np.abs(exp).max())
+        dq = jax.jit(jax.grad(lambda q: jnp.sum(flash_attention(
+            q, k, v, causal=True, block_q=128, block_kv=128) ** 2)))(q)
+        grads_finite = bool(jnp.isfinite(dq).all())
+        return err < 5e-3 and grads_finite, err
+    check("flash attention (causal GQA, streamed kv) + grad",
+          flash_attention_check)
+
     n_pass = sum(results)
     print(f"{n_pass}/{len(results)} checks passed")
     return 0 if n_pass == len(results) else 1

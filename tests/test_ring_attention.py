@@ -82,3 +82,51 @@ def test_ring_custom_scale():
                                block_kv=32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), _ref(q, k, v, scale=0.1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_ring_gradients_match_single_device():
+    from gemm_hls_tpu.ops.attention import flash_attention
+
+    mesh = make_mesh((4,), ("x",))
+    q = jnp.asarray(RNG.uniform(-1, 1, (2, 128, 32)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (2, 128, 32)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (2, 128, 32)), jnp.float32)
+    w = jnp.asarray(RNG.uniform(-1, 1, (2, 128, 32)), jnp.float32)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring_flash_attention(q, k, v, mesh, block_q=32,
+                                            block_kv=32,
+                                            interpret=True) * w)
+
+    def flash_loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=32, block_kv=32,
+                                       interpret=True) * w)
+
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("dq dk dv".split(), g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_ring_gradient_vs_xla_autodiff():
+    mesh = make_mesh((2,), ("x",))
+    q = jnp.asarray(RNG.uniform(-1, 1, (1, 64, 32)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (1, 64, 32)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (1, 64, 32)), jnp.float32)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring_flash_attention(q, k, v, mesh, block_q=32,
+                                            block_kv=32,
+                                            interpret=True) ** 2)
+
+    def ref_loss(q, k, v):
+        s = jnp.einsum("bqd,bkd->bqk", q, k) / np.sqrt(32)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v) ** 2)
+
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("dq dk dv".split(), g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)

@@ -42,6 +42,7 @@ from gemm_hls_tpu.config import GemmConfig, default_config
 
 
 def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
+                         causal: bool = False,
                          scale: Optional[float] = None,
                          block_q: int = 512, block_kv: int = 2048,
                          config: Optional[GemmConfig] = None,
@@ -56,10 +57,12 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
 
     Returns (B, S, D) in q's dtype, sequence-sharded like the inputs.
 
-    S must divide the ring size.  Bidirectional (non-causal) attention:
-    every device sees every KV shard after ``ring_size`` rotations.
-    Differentiable — the custom VJP runs the gradient ring (see module
-    docstring).
+    S must divide the ring size.  Every device sees every KV shard
+    after ``ring_size`` rotations; with ``causal=True`` each step takes
+    one of three forms by shard position — fully-past shard: full flash,
+    diagonal shard: causal flash, fully-future shard: skipped (a
+    -inf-lse partial, a no-op in the combine).  Differentiable — the
+    custom VJP runs the gradient ring (see module docstring).
     """
     from jax.sharding import NamedSharding
 
@@ -74,6 +77,9 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
     if s_q % n_ring or s_kv % n_ring:
         raise ValueError(f"sequence lengths ({s_q}, {s_kv}) must divide "
                          f"the ring size {n_ring}")
+    if causal and s_q != s_kv:
+        raise ValueError(
+            f"causal ring attention needs S_q == S_kv, got {s_q} vs {s_kv}")
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
 
@@ -88,15 +94,15 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
     k = jax.device_put(k, NamedSharding(mesh, spec))
     v = jax.device_put(v, NamedSharding(mesh, spec))
     qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
-    return _ring_core(qs, k, v, mesh, axis, cfg, block_q, block_kv,
-                      run_interpret)
+    return _ring_core(qs, k, v, mesh, axis, cfg, causal, block_q,
+                      block_kv, run_interpret)
 
 
 def _ring_shifts(axis, n_ring):
     return [(i, (i + 1) % n_ring) for i in range(n_ring)]
 
 
-def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
                    run_interpret):
     from gemm_hls_tpu.ops.pallas_flash import flash_mha
 
@@ -105,15 +111,38 @@ def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
 
     def local(qs_blk, k_blk, v_blk):
         bsz, s_loc, d = qs_blk.shape
+        my = jax.lax.axis_index(axis)
 
-        def body(_, carry):
+        def partial_for(k_cur, v_cur, is_causal):
+            return flash_mha(qs_blk, k_cur, v_cur, cfg=cfg,
+                             causal=is_causal, block_q=block_q,
+                             block_kv=block_kv, interpret=run_interpret,
+                             save_lse=True)
+
+        def body(t, carry):
             o, lse, k_cur, v_cur = carry
-            o_p, lse_p = flash_mha(qs_blk, k_cur, v_cur, cfg=cfg,
-                                   block_q=block_q, block_kv=block_kv,
-                                   interpret=run_interpret, save_lse=True)
+            if causal:
+                # Resident kv shard index after t forward rotations.
+                shard = (my - t) % n_ring
+                branch = jnp.where(shard == my, 0,
+                                   jnp.where(shard < my, 1, 2))
+                o_p, lse_p = jax.lax.switch(branch, [
+                    lambda: partial_for(k_cur, v_cur, True),   # diagonal
+                    lambda: partial_for(k_cur, v_cur, False),  # past
+                    lambda: (jnp.zeros((bsz, s_loc, d), jnp.float32),
+                             jnp.full((bsz, s_loc, 1), -jnp.inf,
+                                      jnp.float32)),           # future
+                ])
+            else:
+                o_p, lse_p = partial_for(k_cur, v_cur, False)
             lse_new = jnp.logaddexp(lse, lse_p)
-            o = (o * jnp.exp(lse - lse_new)
-                 + o_p * jnp.exp(lse_p - lse_new))
+            # exp(-inf - -inf) = nan when a row is still empty AND the
+            # step was skipped; a where() on the finite lse guards it.
+            w_old = jnp.where(jnp.isfinite(lse),
+                              jnp.exp(lse - lse_new), 0.0)
+            w_new = jnp.where(jnp.isfinite(lse_p),
+                              jnp.exp(lse_p - lse_new), 0.0)
+            o = o * w_old + o_p * w_new
             k_cur = jax.lax.ppermute(k_cur, axis, perm)
             v_cur = jax.lax.ppermute(v_cur, axis, perm)
             return o, lse_new, k_cur, v_cur
@@ -130,23 +159,23 @@ def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
     return fn(qs, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _ring_core(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _ring_core(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
                run_interpret):
-    o, _ = _ring_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
-                          run_interpret)
+    o, _ = _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q,
+                          block_kv, run_interpret)
     return o
 
 
-def _ring_core_fwd(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+def _ring_core_fwd(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
                    run_interpret):
-    o, lse = _ring_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
-                            run_interpret)
+    o, lse = _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q,
+                            block_kv, run_interpret)
     return o, (qs, k, v, o, lse)
 
 
-def _ring_core_bwd(mesh, axis, cfg, block_q, block_kv, run_interpret,
-                   res, do):
+def _ring_core_bwd(mesh, axis, cfg, causal, block_q, block_kv,
+                   run_interpret, res, do):
     """Second ring: each KV shard's accumulating (dk, dv) rotates WITH
     it, so after ring_size steps every shard has collected every
     device's contribution and is home.  dq accumulates locally.  The
@@ -165,19 +194,37 @@ def _ring_core_bwd(mesh, axis, cfg, block_q, block_kv, run_interpret,
                         * o_blk.astype(jnp.float32), axis=-1,
                         keepdims=True)
         do_c = do_blk.astype(qs_blk.dtype)
+        my = jax.lax.axis_index(axis)
 
-        def body(_, carry):
-            dq, dk, dv, k_cur, v_cur = carry
-            dq = dq + flash_mha_bwd_dq(
+        def grads_for(k_cur, v_cur, is_causal):
+            dqc = flash_mha_bwd_dq(
                 qs_blk, k_cur, v_cur, do_c, lse_blk, delta, cfg=cfg,
-                block_q=block_q, block_kv=block_kv,
+                causal=is_causal, block_q=block_q, block_kv=block_kv,
                 interpret=run_interpret).astype(jnp.float32)
             dkc, dvc = flash_mha_bwd_dkv(
                 qs_blk, k_cur, v_cur, do_c, lse_blk, delta, cfg=cfg,
-                block_q=block_q, block_kv=block_kv,
+                causal=is_causal, block_q=block_q, block_kv=block_kv,
                 interpret=run_interpret)
-            dk = dk + dkc.astype(jnp.float32)
-            dv = dv + dvc.astype(jnp.float32)
+            return dqc, dkc.astype(jnp.float32), dvc.astype(jnp.float32)
+
+        def body(t, carry):
+            dq, dk, dv, k_cur, v_cur = carry
+            if causal:
+                shard = (my - t) % n_ring
+                branch = jnp.where(shard == my, 0,
+                                   jnp.where(shard < my, 1, 2))
+                z_q = jnp.zeros(qs_blk.shape, jnp.float32)
+                z_kv = jnp.zeros(k_cur.shape, jnp.float32)
+                dqc, dkc, dvc = jax.lax.switch(branch, [
+                    lambda: grads_for(k_cur, v_cur, True),
+                    lambda: grads_for(k_cur, v_cur, False),
+                    lambda: (z_q, z_kv, z_kv),
+                ])
+            else:
+                dqc, dkc, dvc = grads_for(k_cur, v_cur, False)
+            dq = dq + dqc
+            dk = dk + dkc
+            dv = dv + dvc
             # The shard and its gradient travel together.
             k_cur = jax.lax.ppermute(k_cur, axis, perm)
             v_cur = jax.lax.ppermute(v_cur, axis, perm)

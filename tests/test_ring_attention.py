@@ -130,3 +130,52 @@ def test_ring_gradient_vs_xla_autodiff():
     for name, a, b in zip("dq dk dv".split(), g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("ring,b,s,d", [(4, 1, 128, 32), (2, 2, 64, 32)])
+def test_ring_causal_matches_oracle(ring, b, s, d):
+    mesh = make_mesh((ring,), ("x",))
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    out = ring_flash_attention(q, k, v, mesh, causal=True, block_q=16,
+                               block_kv=16, interpret=True)
+    s64 = (np.asarray(q, np.float64) @ np.asarray(k, np.float64)
+           .transpose(0, 2, 1)) / np.sqrt(d)
+    s64 = np.where(np.tril(np.ones((s, s), bool)), s64, -np.inf)
+    e = np.exp(s64 - s64.max(-1, keepdims=True))
+    exp = (e / e.sum(-1, keepdims=True)) @ np.asarray(v, np.float64)
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4, atol=1e-5)
+
+
+def test_ring_causal_gradients():
+    mesh = make_mesh((4,), ("x",))
+    b, s, d = 1, 128, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring_flash_attention(q, k, v, mesh, causal=True,
+                                            block_q=16, block_kv=16,
+                                            interpret=True) ** 2)
+
+    def ref_loss(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k) / np.sqrt(d)
+        sc = jnp.where(jnp.tril(jnp.ones((s, s), bool)), sc, -jnp.inf)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v) ** 2)
+
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_ring_causal_rejects_unequal_lengths():
+    mesh = make_mesh((2,), ("x",))
+    q = jnp.zeros((1, 64, 32))
+    k = jnp.zeros((1, 128, 32))
+    with pytest.raises(ValueError):
+        ring_flash_attention(q, k, k, mesh, causal=True, interpret=True)

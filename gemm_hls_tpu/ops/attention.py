@@ -92,6 +92,8 @@ def attention_scores(q, k, *, scale: Optional[float] = None,
 
 def flash_attention(q, k, v, *, scale: Optional[float] = None,
                     causal: bool = False,
+                    window: Optional[int] = None,
+                    logit_cap: Optional[float] = None,
                     config: Optional[GemmConfig] = None,
                     block_q: int = 512, block_kv: int = 2048,
                     interpret: Optional[bool] = None):
@@ -114,6 +116,12 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         BlockSpec index map (no materialized broadcast), and the
         backward folds the group's dk/dv onto the shared head.
       scale: score scale, defaults to 1/sqrt(D).
+      window: sliding-window size (requires ``causal``): each query
+        attends positions (q_pos − window, q_pos]; KV blocks wholly
+        outside the window are skipped, bounding work at O(S·window·D).
+      logit_cap: Gemma-style soft cap — scores squashed to
+        cap·tanh(s/cap) before the softmax (the backward carries the
+        tanh derivative).
 
     Returns attention output in q's layout and dtype.
     """
@@ -146,7 +154,7 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
     # Differentiable: custom VJP runs the flash backward kernels
     # (dq/dk/dv recomputed blockwise from the saved log-sum-exp).
     out = flash_mha_diff(qs, k, v, cfg, causal, block_q, block_kv,
-                         _resolve_interpret(cfg))
+                         _resolve_interpret(cfg), window, logit_cap)
     if four_d:
         out = out.reshape(nb, hq, out.shape[1],
                           out.shape[2]).transpose(0, 2, 1, 3)

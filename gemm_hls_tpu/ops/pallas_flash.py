@@ -48,7 +48,7 @@ _MASK = -0.7 * jnp.finfo(jnp.float32).max
 
 def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
                   block_q, block_kv, causal, precision, out_dtype,
-                  save_lse=False):
+                  window=None, logit_cap=None, save_lse=False):
     """One (q-tile, kv-tile) step of online-softmax attention.
 
     ``out_refs`` = (o_ref[, lse_ref], acc_ref, m_ref, l_ref); with
@@ -69,8 +69,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
 
     # Causal block skip: the whole kv block is in the future of the whole
     # q tile — nothing to do (the grid still steps, but no MXU/VPU work).
+    # A sliding window additionally skips blocks wholly OLDER than every
+    # query's window start (q_pos - window + 1).
     if causal:
         live = j * block_kv < (i + 1) * block_q
+        if window is not None:
+            live = live & ((j + 1) * block_kv > i * block_q - window + 1)
     else:
         live = True
 
@@ -89,6 +93,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32,
             precision=precision)           # (block_q, block_kv)
+        if logit_cap is not None:
+            # Soft cap (Gemma-style): squash scores into (-cap, cap)
+            # BEFORE masking, so the mask value stays dominant.
+            s = logit_cap * jnp.tanh(s / logit_cap)
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         if kv_rem:
@@ -109,7 +117,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
             row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             q_pos = i * block_q + row
             kv_pos = j * block_kv + col
-            s = jnp.where(kv_pos <= q_pos, s, _MASK)
+            keep = kv_pos <= q_pos
+            if window is not None:
+                keep = keep & (kv_pos > q_pos - window)
+            s = jnp.where(keep, s, _MASK)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)      # (block_q, 1)
 
@@ -156,10 +167,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "causal", "block_q", "block_kv", "interpret", "save_lse"))
+    "cfg", "causal", "block_q", "block_kv", "interpret", "window",
+    "logit_cap", "save_lse"))
 def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
               block_q=512, block_kv=2048, interpret=False,
-              save_lse=False):
+              window=None, logit_cap=None, save_lse=False):
     """Fused attention o = softmax(q·kᵀ)·v per head, streaming KV.
 
     Args:
@@ -193,6 +205,9 @@ def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
     n_kv = pl.cdiv(s_kv, block_kv)
     grid = (bsz, n_q, n_kv)
 
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True (sliding-window "
+                         "attention is an autoregressive mask)")
     kernel = functools.partial(
         _flash_kernel,
         n_kv_grid=n_kv,
@@ -202,6 +217,8 @@ def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
         causal=causal,
         precision=_resolve_precision(cfg),
         out_dtype=cfg.jout_dtype,
+        window=window,
+        logit_cap=logit_cap,
         save_lse=save_lse,
     )
 
@@ -278,20 +295,25 @@ def _zero_rows(x, limit):
 
 
 def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
-                    block_q, block_kv, causal, precision):
+                    block_q, block_kv, causal, precision, window=None,
+                    logit_cap=None):
     """Shared block recompute: returns (p, ds, k, v) with p/ds f32
     (block_q, block_kv) and k/v row-zeroed at the kv overhang.
 
-    Masked columns (kv overhang, causal future) get p = ds = 0 — stale k
-    rows are discarded by the where() on s, and stale k/v rows are zeroed
-    before they enter any further contraction (0·nan from a stale lane
-    would otherwise poison whole gradient tiles; same rule as
-    ``ops/pallas_mxu.py::_mask_k_tail``).
+    Masked columns (kv overhang, causal future, outside the sliding
+    window) get p = ds = 0 — stale k rows are discarded by the where()
+    on s, and stale k/v rows are zeroed before they enter any further
+    contraction (0·nan from a stale lane would otherwise poison whole
+    gradient tiles; same rule as ``ops/pallas_mxu.py::_mask_k_tail``).
+    With ``logit_cap`` the returned ds carries the soft-cap's tanh
+    derivative, so downstream dq/dk are gradients w.r.t. the RAW scores.
     """
     f32 = jnp.float32
     s = jax.lax.dot_general(
         qs, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32, precision=precision)
+    if logit_cap is not None:
+        s = logit_cap * jnp.tanh(s / logit_cap)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     if kv_rem:
         if n_kv_grid == 1:
@@ -303,18 +325,30 @@ def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
         v = _zero_rows(v, limit)
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        s = jnp.where(j * block_kv + col <= i * block_q + row, s, _MASK)
+        q_pos = i * block_q + row
+        kv_pos = j * block_kv + col
+        keep = kv_pos <= q_pos
+        if window is not None:
+            keep = keep & (kv_pos > q_pos - window)
+        s = jnp.where(keep, s, _MASK)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32, precision=precision)
     ds = p * (dp - delta)
+    if logit_cap is not None:
+        # d(cap·tanh(x/cap))/dx = 1 - tanh² = 1 - (s_capped/cap)²; on
+        # masked entries ds is already exactly 0, so the stray factor
+        # (computed from the MASKED s) cannot corrupt anything.
+        ds = ds * (1.0 - jnp.square(jnp.where(s <= _MASK, 0.0,
+                                              s / logit_cap)))
     return p, ds, k, v
 
 
 def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                          dq_ref, acc_ref, *, n_kv_grid, kv_rem, block_q,
-                         block_kv, causal, precision, out_dtype):
+                         block_kv, causal, precision, out_dtype,
+                         window=None, logit_cap=None):
     j = pl.program_id(2) if n_kv_grid > 1 else 0
     i = pl.program_id(1)
 
@@ -328,7 +362,8 @@ def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             qs_ref[0], k_ref[0], v_ref[0], do_ref[0].astype(jnp.float32),
             lse_ref[0], delta_ref[0], j=j, i=i, n_kv_grid=n_kv_grid,
             kv_rem=kv_rem, block_q=block_q, block_kv=block_kv,
-            causal=causal, precision=precision)
+            causal=causal, precision=precision, window=window,
+            logit_cap=logit_cap)
         contrib = jax.lax.dot_general(
             ds.astype(kz.dtype), kz,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -339,7 +374,11 @@ def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             acc_ref[:] += contrib
 
     if causal and n_kv_grid > 1:
-        @pl.when(j * block_kv < (i + 1) * block_q)
+        live = j * block_kv < (i + 1) * block_q
+        if window is not None:
+            live = live & ((j + 1) * block_kv > i * block_q - window + 1)
+
+        @pl.when(live)
         def _():
             step()
     else:
@@ -354,7 +393,8 @@ def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           dk_ref, dv_ref, dk_acc, dv_acc, *, n_q_grid,
                           n_kv_grid, q_rem, kv_rem, block_q, block_kv,
-                          causal, precision, out_dtype):
+                          causal, precision, out_dtype, window=None,
+                          logit_cap=None):
     """Grid (batch, kv-tiles, q-tiles): q streamed innermost, the
     (block_kv, d) dk/dv accumulators stationary."""
     j = pl.program_id(1)
@@ -373,7 +413,8 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             qs, k_ref[0], v_ref[0], do, lse_ref[0], delta_ref[0],
             j=j, i=i, n_kv_grid=n_kv_grid,
             kv_rem=kv_rem, block_q=block_q, block_kv=block_kv,
-            causal=causal, precision=precision)
+            causal=causal, precision=precision, window=window,
+            logit_cap=logit_cap)
         if q_rem:
             # The q overhang is NOT row-local here: garbage q rows feed
             # the over-q contractions below.  Zero p/ds rows AND the
@@ -403,7 +444,11 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             dv_acc[:] += dv_c
 
     if causal and n_q_grid > 1:
-        @pl.when((i + 1) * block_q > j * block_kv)
+        live = (i + 1) * block_q > j * block_kv
+        if window is not None:
+            live = live & (i * block_q - window + 1 < (j + 1) * block_kv)
+
+        @pl.when(live)
         def _():
             step()
     else:
@@ -426,10 +471,11 @@ def _bwd_common(q, k, v, cfg, block_q, block_kv):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "causal", "block_q", "block_kv", "interpret"))
+    "cfg", "causal", "block_q", "block_kv", "interpret", "window",
+    "logit_cap"))
 def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
                      causal=False, block_q=512, block_kv=2048,
-                     interpret=False):
+                     interpret=False, window=None, logit_cap=None):
     """dL/d(q·scale): grid (batch, q-tiles, kv-tiles), kv streamed."""
     bsz, s_q, s_kv, d, block_q, block_kv, group = _bwd_common(
         qs, k, v, cfg, block_q, block_kv)
@@ -440,7 +486,8 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
         _flash_bwd_dq_kernel,
         n_kv_grid=n_kv, kv_rem=s_kv % block_kv,
         block_q=block_q, block_kv=block_kv, causal=causal,
-        precision=_resolve_precision(cfg), out_dtype=qs.dtype)
+        precision=_resolve_precision(cfg), out_dtype=qs.dtype,
+        window=window, logit_cap=logit_cap)
 
     kwargs = {}
     if not interpret:
@@ -477,10 +524,11 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "causal", "block_q", "block_kv", "interpret"))
+    "cfg", "causal", "block_q", "block_kv", "interpret", "window",
+    "logit_cap"))
 def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
                       causal=False, block_q=512, block_kv=2048,
-                      interpret=False):
+                      interpret=False, window=None, logit_cap=None):
     """(dL/dk, dL/dv): grid (batch, kv-tiles, q-tiles), q streamed."""
     bsz, s_q, s_kv, d, block_q, block_kv, group = _bwd_common(
         qs, k, v, cfg, block_q, block_kv)
@@ -492,7 +540,8 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
         n_q_grid=n_q, n_kv_grid=n_kv,
         q_rem=s_q % block_q, kv_rem=s_kv % block_kv,
         block_q=block_q, block_kv=block_kv, causal=causal,
-        precision=_resolve_precision(cfg), out_dtype=k.dtype)
+        precision=_resolve_precision(cfg), out_dtype=k.dtype,
+        window=window, logit_cap=logit_cap)
 
     kwargs = {}
     if not interpret:
@@ -543,21 +592,24 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def flash_mha_diff(qs, k, v, cfg: GemmConfig, causal, block_q, block_kv,
-                   interpret):
+                   interpret, window=None, logit_cap=None):
     return flash_mha(qs, k, v, cfg=cfg, causal=causal, block_q=block_q,
-                     block_kv=block_kv, interpret=interpret)
+                     block_kv=block_kv, interpret=interpret,
+                     window=window, logit_cap=logit_cap)
 
 
-def _flash_diff_fwd(qs, k, v, cfg, causal, block_q, block_kv, interpret):
+def _flash_diff_fwd(qs, k, v, cfg, causal, block_q, block_kv, interpret,
+                    window=None, logit_cap=None):
     o, lse = flash_mha(qs, k, v, cfg=cfg, causal=causal, block_q=block_q,
                        block_kv=block_kv, interpret=interpret,
-                       save_lse=True)
+                       window=window, logit_cap=logit_cap, save_lse=True)
     return o, (qs, k, v, o, lse)
 
 
-def _flash_diff_bwd(cfg, causal, block_q, block_kv, interpret, res, do):
+def _flash_diff_bwd(cfg, causal, block_q, block_kv, interpret, window,
+                    logit_cap, res, do):
     qs, k, v, o, lse = res
     # Softmax-Jacobian row term Δ = Σ_d do ⊙ o, in f32 (one cheap
     # elementwise pass XLA fuses; the kernels read it per q-row).
@@ -566,10 +618,12 @@ def _flash_diff_bwd(cfg, causal, block_q, block_kv, interpret, res, do):
     do_c = do.astype(qs.dtype)
     dqs = flash_mha_bwd_dq(qs, k, v, do_c, lse, delta, cfg=cfg,
                            causal=causal, block_q=block_q,
-                           block_kv=block_kv, interpret=interpret)
+                           block_kv=block_kv, interpret=interpret,
+                           window=window, logit_cap=logit_cap)
     dk, dv = flash_mha_bwd_dkv(qs, k, v, do_c, lse, delta, cfg=cfg,
                                causal=causal, block_q=block_q,
-                               block_kv=block_kv, interpret=interpret)
+                               block_kv=block_kv, interpret=interpret,
+                               window=window, logit_cap=logit_cap)
     group = qs.shape[0] // k.shape[0]
     if group > 1:
         # GQA: the dkv kernel emits per-q-head tiles; fold each group of

@@ -214,3 +214,98 @@ def test_flash_4d_causal_gradient():
     for name, a, b in zip("dq dk dv".split(), g_ours, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_flash_sliding_window_matches_masked_oracle():
+    b, s, d, w = 1, 160, 32, 48
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    out = flash_attention(q, k, v, causal=True, window=w, block_q=32,
+                          block_kv=32, interpret=True)
+    sc = (np.asarray(q, np.float64) @ np.asarray(k, np.float64)
+          .transpose(0, 2, 1)) / np.sqrt(d)
+    pos = np.arange(s)
+    keep = (pos[None, :] <= pos[:, None]) & (pos[None, :] > pos[:, None] - w)
+    sc = np.where(keep, sc, -np.inf)
+    e = np.exp(sc - sc.max(-1, keepdims=True))
+    exp = (e / e.sum(-1, keepdims=True)) @ np.asarray(v, np.float64)
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_sliding_window_gradients():
+    b, s, d, w = 1, 128, 32, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+
+    def ours(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, window=w,
+                                       block_q=32, block_kv=32,
+                                       interpret=True) ** 2)
+
+    def ref(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k) / np.sqrt(d)
+        pos = jnp.arange(s)
+        keep = ((pos[None, :] <= pos[:, None])
+                & (pos[None, :] > pos[:, None] - w))
+        sc = jnp.where(keep, sc, -jnp.inf)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v) ** 2)
+
+    g_ours = jax.grad(ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_flash_window_requires_causal():
+    q = jnp.zeros((1, 64, 32))
+    with pytest.raises(ValueError):
+        flash_attention(q, q, q, window=16, interpret=True)
+
+
+def test_flash_logit_cap_matches_oracle_and_grads():
+    b, s, d, cap = 1, 96, 32, 2.0
+    q = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+
+    def ref_out(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k) / np.sqrt(d)
+        sc = cap * jnp.tanh(sc / cap)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.einsum("bqk,bkd->bqd", p, v)
+
+    out = flash_attention(q, k, v, logit_cap=cap, block_q=32, block_kv=32,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out(q, k, v)),
+                               rtol=1e-4, atol=1e-5)
+
+    g_ours = jax.grad(lambda q, k, v: jnp.sum(flash_attention(
+        q, k, v, logit_cap=cap, block_q=32, block_kv=32,
+        interpret=True) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(ref_out(q, k, v) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_flash_causal_logit_cap_window_combined():
+    b, s, d, w, cap = 1, 128, 32, 40, 3.0
+    q = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    out = flash_attention(q, k, v, causal=True, window=w, logit_cap=cap,
+                          block_q=32, block_kv=32, interpret=True)
+    sc = (np.asarray(q, np.float64) @ np.asarray(k, np.float64)
+          .transpose(0, 2, 1)) / np.sqrt(d)
+    sc = cap * np.tanh(sc / cap)
+    pos = np.arange(s)
+    keep = (pos[None, :] <= pos[:, None]) & (pos[None, :] > pos[:, None] - w)
+    sc = np.where(keep, sc, -np.inf)
+    e = np.exp(sc - sc.max(-1, keepdims=True))
+    exp = (e / e.sum(-1, keepdims=True)) @ np.asarray(v, np.float64)
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4, atol=1e-5)

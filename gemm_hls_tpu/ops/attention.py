@@ -94,6 +94,7 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
                     causal: bool = False,
                     window: Optional[int] = None,
                     logit_cap: Optional[float] = None,
+                    kv_lengths=None,
                     config: Optional[GemmConfig] = None,
                     block_q: int = 512, block_kv: int = 2048,
                     interpret: Optional[bool] = None):
@@ -122,6 +123,11 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
       logit_cap: Gemma-style soft cap — scores squashed to
         cap·tanh(s/cap) before the softmax (the backward carries the
         tanh derivative).
+      kv_lengths: per-example logical KV lengths (int array, one per kv
+        head row — or per batch element in the 4-D layout), for
+        padded-cache decode: positions >= length are masked and KV
+        blocks past the cache end are skipped.  Lengths must be >= 1.
+        Inference-only (no custom VJP on this path).
 
     Returns attention output in q's layout and dtype.
     """
@@ -136,11 +142,15 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
             raise ValueError(f"mixed layouts: {q.shape} x {k.shape}")
         nb = q.shape[0]
         hq = q.shape[2]
+        hkv = k.shape[2]
 
         def pack(x):
             return x.transpose(0, 2, 1, 3).reshape(
                 x.shape[0] * x.shape[2], x.shape[1], x.shape[3])
         q, k, v = pack(q), pack(k), pack(v)
+        if kv_lengths is not None:
+            # One length per batch element -> one per packed kv head.
+            kv_lengths = jnp.repeat(jnp.asarray(kv_lengths), hkv)
     if q.ndim != 3:
         raise ValueError(f"flash_attention expects (B, S, D) or "
                          f"(batch, S, H, D), got {q.shape}")
@@ -151,10 +161,19 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         dtype=str(q.dtype), out_dtype=str(q.dtype))
     if interpret is not None:
         cfg = cfg.replace(interpret=interpret)
-    # Differentiable: custom VJP runs the flash backward kernels
-    # (dq/dk/dv recomputed blockwise from the saved log-sum-exp).
-    out = flash_mha_diff(qs, k, v, cfg, causal, block_q, block_kv,
-                         _resolve_interpret(cfg), window, logit_cap)
+    if kv_lengths is not None:
+        # Padded-cache decode path (inference-only; no custom VJP).
+        from gemm_hls_tpu.ops.pallas_flash import flash_mha
+
+        out = flash_mha(qs, k, v, jnp.asarray(kv_lengths), cfg=cfg,
+                        causal=causal, block_q=block_q, block_kv=block_kv,
+                        interpret=_resolve_interpret(cfg), window=window,
+                        logit_cap=logit_cap)
+    else:
+        # Differentiable: custom VJP runs the flash backward kernels
+        # (dq/dk/dv recomputed blockwise from the saved log-sum-exp).
+        out = flash_mha_diff(qs, k, v, cfg, causal, block_q, block_kv,
+                             _resolve_interpret(cfg), window, logit_cap)
     if four_d:
         out = out.reshape(nb, hq, out.shape[1],
                           out.shape[2]).transpose(0, 2, 1, 3)

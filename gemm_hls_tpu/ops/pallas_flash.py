@@ -46,20 +46,28 @@ from gemm_hls_tpu.ops.pallas_mxu import _resolve_precision
 _MASK = -0.7 * jnp.finfo(jnp.float32).max
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
+def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
                   block_q, block_kv, causal, precision, out_dtype,
-                  window=None, logit_cap=None, save_lse=False):
+                  window=None, logit_cap=None, has_kvlen=False,
+                  kv_group=1, save_lse=False):
     """One (q-tile, kv-tile) step of online-softmax attention.
 
-    ``out_refs`` = (o_ref[, lse_ref], acc_ref, m_ref, l_ref); with
-    ``save_lse`` the per-row log-sum-exp ``m + log(l)`` is emitted as a
-    second output — the residual the backward kernels need to recompute
-    probabilities without re-running the softmax reduction.
+    ``refs`` = ([len_ref,] o_ref[, lse_ref], acc_ref, m_ref, l_ref);
+    with ``has_kvlen`` a per-example logical KV length arrives as an
+    SMEM scalar (padded-cache decode: positions >= length are masked
+    exactly like the physical overhang).  With ``save_lse`` the per-row
+    log-sum-exp ``m + log(l)`` is emitted as a second output — the
+    residual the backward kernels need to recompute probabilities
+    without re-running the softmax reduction.
     """
-    if save_lse:
-        o_ref, lse_ref, acc_ref, m_ref, l_ref = out_refs
+    if has_kvlen:
+        len_ref, *refs = refs
     else:
-        o_ref, acc_ref, m_ref, l_ref = out_refs
+        len_ref = None
+    if save_lse:
+        o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = refs
         lse_ref = None
     f32 = jnp.float32
     j = pl.program_id(2) if n_kv_grid > 1 else 0
@@ -70,13 +78,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
     # Causal block skip: the whole kv block is in the future of the whole
     # q tile — nothing to do (the grid still steps, but no MXU/VPU work).
     # A sliding window additionally skips blocks wholly OLDER than every
-    # query's window start (q_pos - window + 1).
+    # query's window start (q_pos - window + 1); a dynamic per-example
+    # KV length skips blocks past the logical cache end.
+    live = True
     if causal:
         live = j * block_kv < (i + 1) * block_q
         if window is not None:
             live = live & ((j + 1) * block_kv > i * block_q - window + 1)
-    else:
-        live = True
+    if has_kvlen:
+        kv_len = len_ref[pl.program_id(0) // kv_group, 0]
+    if has_kvlen and n_kv_grid > 1:
+        live = live & (j * block_kv < kv_len)
 
     if n_kv_grid > 1:
         @pl.when(j == 0)
@@ -99,17 +111,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
             s = logit_cap * jnp.tanh(s / logit_cap)
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        if kv_rem:
-            # The final kv block overhangs the logical sequence: its
-            # stale score columns are *replaced* (where() discards any
-            # garbage, even nan), and v's stale rows are zeroed — the
-            # masked p is exactly 0 there, but 0 * nan would still
-            # poison the PV contraction (GEMM kernel K-tail rule,
-            # ops/pallas_mxu.py::_mask_k_tail).
-            if n_kv_grid == 1:
+        if kv_rem or has_kvlen:
+            # The final kv block overhangs the logical sequence (and a
+            # dynamic per-example length may end even earlier): stale /
+            # out-of-length score columns are *replaced* (where()
+            # discards any garbage, even nan), and v's rows beyond the
+            # limit are zeroed — the masked p is exactly 0 there, but
+            # 0 * nan would still poison the PV contraction (GEMM
+            # kernel K-tail rule, ops/pallas_mxu.py::_mask_k_tail).
+            if not kv_rem:
+                limit = block_kv
+            elif n_kv_grid == 1:
                 limit = kv_rem
             else:
                 limit = jnp.where(j == n_kv_grid - 1, kv_rem, block_kv)
+            if has_kvlen:
+                dyn = jnp.clip(kv_len - j * block_kv, 0, block_kv)
+                limit = jnp.minimum(limit, dyn)
             s = jnp.where(col < limit, s, _MASK)
             ridx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
             v = jnp.where(ridx < limit, v, jnp.zeros((), v.dtype))
@@ -150,7 +168,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    if causal and n_kv_grid > 1:
+    if (causal or has_kvlen) and n_kv_grid > 1:
         @pl.when(live)
         def _():
             step()
@@ -169,7 +187,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *out_refs, n_kv_grid, kv_rem,
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "causal", "block_q", "block_kv", "interpret", "window",
     "logit_cap", "save_lse"))
-def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
+def flash_mha(q, k, v, kv_lengths=None, *, cfg: GemmConfig, causal=False,
               block_q=512, block_kv=2048, interpret=False,
               window=None, logit_cap=None, save_lse=False):
     """Fused attention o = softmax(q·kᵀ)·v per head, streaming KV.
@@ -208,6 +226,12 @@ def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
     if window is not None and not causal:
         raise ValueError("window requires causal=True (sliding-window "
                          "attention is an autoregressive mask)")
+    has_kvlen = kv_lengths is not None
+    if has_kvlen:
+        if kv_lengths.shape != (k.shape[0],):
+            raise ValueError(f"kv_lengths must be ({k.shape[0]},), got "
+                             f"{kv_lengths.shape}")
+        kv_lengths = kv_lengths.astype(jnp.int32).reshape(-1, 1)
     kernel = functools.partial(
         _flash_kernel,
         n_kv_grid=n_kv,
@@ -219,6 +243,8 @@ def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
         out_dtype=cfg.jout_dtype,
         window=window,
         logit_cap=logit_cap,
+        has_kvlen=has_kvlen,
+        kv_group=group,
         save_lse=save_lse,
     )
 
@@ -247,19 +273,26 @@ def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((bsz, s_q, 1), jnp.float32))
 
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d),
+                     lambda b, i, j, g=group: (b // g, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d),
+                     lambda b, i, j, g=group: (b // g, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = (q, k, v)
+    if has_kvlen:
+        # Whole (B_kv, 1) array resident in SMEM; the kernel indexes its
+        # own row (Mosaic rejects sub-(8,128) blocked SMEM specs).
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands = (q, k, v, kv_lengths)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d),
-                         lambda b, i, j, g=group: (b // g, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d),
-                         lambda b, i, j, g=group: (b // g, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -270,7 +303,7 @@ def flash_mha(q, k, v, *, cfg: GemmConfig, causal=False,
         interpret=interpret,
         name=f"flash_mha_{block_q}x{block_kv}x{d}",
         **kwargs,
-    )(q, k, v)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------

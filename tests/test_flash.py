@@ -309,3 +309,63 @@ def test_flash_causal_logit_cap_window_combined():
     e = np.exp(sc - sc.max(-1, keepdims=True))
     exp = (e / e.sum(-1, keepdims=True)) @ np.asarray(v, np.float64)
     np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_kv_lengths_match_per_example_truncation():
+    b, sq, skv, d = 3, 32, 128, 64
+    lens = np.array([128, 70, 1], np.int32)
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, sq, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, skv, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, skv, d)), jnp.float32)
+    out = flash_attention(q, k, v, kv_lengths=jnp.asarray(lens),
+                          block_q=32, block_kv=32, interpret=True)
+    for i, ln in enumerate(lens):
+        exp = _ref(np.asarray(q[i:i + 1]), np.asarray(k[i:i + 1, :ln]),
+                   np.asarray(v[i:i + 1, :ln]))
+        np.testing.assert_allclose(np.asarray(out[i:i + 1]), exp,
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"example {i} len {ln}")
+
+
+def test_flash_kv_lengths_decode_shape():
+    # Sq=1 decode against a padded cache, per-example lengths, GQA.
+    hq, hkv, cache, d = 4, 2, 256, 64
+    lens = jnp.asarray(np.array([100, 256], np.int32))   # per kv head
+    q = jnp.asarray(RNG.uniform(-1, 1, (hq, 1, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (hkv, cache, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (hkv, cache, d)), jnp.float32)
+    out = flash_attention(q, k, v, kv_lengths=lens, block_q=8,
+                          block_kv=64, interpret=True)
+    g = hq // hkv
+    for h in range(hq):
+        ln = int(lens[h // g])
+        exp = _ref(np.asarray(q[h:h + 1]),
+                   np.asarray(k[h // g:h // g + 1, :ln]),
+                   np.asarray(v[h // g:h // g + 1, :ln]))
+        np.testing.assert_allclose(np.asarray(out[h:h + 1]), exp,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_flash_kv_lengths_4d_layout():
+    nb, s, h, d = 2, 64, 2, 32
+    lens = jnp.asarray(np.array([30, 64], np.int32))     # per batch elem
+    q = jnp.asarray(RNG.uniform(-1, 1, (nb, s, h, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (nb, s, h, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (nb, s, h, d)), jnp.float32)
+    out = flash_attention(q, k, v, kv_lengths=lens, block_q=32,
+                          block_kv=32, interpret=True)
+    for bi in range(nb):
+        ln = int(lens[bi])
+        for hi in range(h):
+            exp = _ref(np.asarray(q[bi, :, hi][None]),
+                       np.asarray(k[bi, :ln, hi][None]),
+                       np.asarray(v[bi, :ln, hi][None]))
+            np.testing.assert_allclose(np.asarray(out[bi, :, hi][None]),
+                                       exp, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_kv_lengths_bad_shape():
+    q = jnp.zeros((2, 16, 128))
+    with pytest.raises(ValueError):
+        flash_attention(q, q, q, kv_lengths=jnp.zeros((3,), jnp.int32),
+                        interpret=True)

@@ -95,6 +95,7 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
                     window: Optional[int] = None,
                     logit_cap: Optional[float] = None,
                     kv_lengths=None,
+                    q_segment_ids=None, kv_segment_ids=None,
                     config: Optional[GemmConfig] = None,
                     block_q: int = 512, block_kv: int = 2048,
                     interpret: Optional[bool] = None):
@@ -128,6 +129,11 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         padded-cache decode: positions >= length are masked and KV
         blocks past the cache end are skipped.  Lengths must be >= 1.
         Inference-only (no custom VJP on this path).
+      q_segment_ids / kv_segment_ids: packed-sequence masks — int arrays
+        (B, S) (or (batch, S) in the 4-D layout, broadcast over heads);
+        only same-segment (q, kv) pairs interact.  Every q position must
+        share a segment with at least one kv position (softmax over an
+        empty set is nan).  Differentiable.
 
     Returns attention output in q's layout and dtype.
     """
@@ -151,6 +157,11 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         if kv_lengths is not None:
             # One length per batch element -> one per packed kv head.
             kv_lengths = jnp.repeat(jnp.asarray(kv_lengths), hkv)
+        if q_segment_ids is not None:
+            q_segment_ids = jnp.repeat(jnp.asarray(q_segment_ids), hq,
+                                       axis=0)
+            kv_segment_ids = jnp.repeat(jnp.asarray(kv_segment_ids), hkv,
+                                        axis=0)
     if q.ndim != 3:
         raise ValueError(f"flash_attention expects (B, S, D) or "
                          f"(batch, S, H, D), got {q.shape}")
@@ -161,18 +172,23 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         dtype=str(q.dtype), out_dtype=str(q.dtype))
     if interpret is not None:
         cfg = cfg.replace(interpret=interpret)
+    if q_segment_ids is not None:
+        q_segment_ids = jnp.asarray(q_segment_ids)
+        kv_segment_ids = jnp.asarray(kv_segment_ids)
     if kv_lengths is not None:
         # Padded-cache decode path (inference-only; no custom VJP).
         from gemm_hls_tpu.ops.pallas_flash import flash_mha
 
-        out = flash_mha(qs, k, v, jnp.asarray(kv_lengths), cfg=cfg,
+        out = flash_mha(qs, k, v, jnp.asarray(kv_lengths),
+                        q_segment_ids, kv_segment_ids, cfg=cfg,
                         causal=causal, block_q=block_q, block_kv=block_kv,
                         interpret=_resolve_interpret(cfg), window=window,
                         logit_cap=logit_cap)
     else:
         # Differentiable: custom VJP runs the flash backward kernels
         # (dq/dk/dv recomputed blockwise from the saved log-sum-exp).
-        out = flash_mha_diff(qs, k, v, cfg, causal, block_q, block_kv,
+        out = flash_mha_diff(qs, k, v, q_segment_ids, kv_segment_ids,
+                             cfg, causal, block_q, block_kv,
                              _resolve_interpret(cfg), window, logit_cap)
     if four_d:
         out = out.reshape(nb, hq, out.shape[1],

@@ -49,7 +49,7 @@ _MASK = -0.7 * jnp.finfo(jnp.float32).max
 def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
                   block_q, block_kv, causal, precision, out_dtype,
                   window=None, logit_cap=None, has_kvlen=False,
-                  kv_group=1, save_lse=False):
+                  has_segids=False, kv_group=1, save_lse=False):
     """One (q-tile, kv-tile) step of online-softmax attention.
 
     ``refs`` = ([len_ref,] o_ref[, lse_ref], acc_ref, m_ref, l_ref);
@@ -64,6 +64,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
         len_ref, *refs = refs
     else:
         len_ref = None
+    if has_segids:
+        qseg_ref, kvseg_ref, *refs = refs
     if save_lse:
         o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
     else:
@@ -111,6 +113,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
             s = logit_cap * jnp.tanh(s / logit_cap)
 
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = None
         if kv_rem or has_kvlen:
             # The final kv block overhangs the logical sequence (and a
             # dynamic per-example length may end even earlier): stale /
@@ -128,7 +131,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
             if has_kvlen:
                 dyn = jnp.clip(kv_len - j * block_kv, 0, block_kv)
                 limit = jnp.minimum(limit, dyn)
-            s = jnp.where(col < limit, s, _MASK)
+            valid = col < limit
             ridx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
             v = jnp.where(ridx < limit, v, jnp.zeros((), v.dtype))
         if causal:
@@ -138,12 +141,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
             keep = kv_pos <= q_pos
             if window is not None:
                 keep = keep & (kv_pos > q_pos - window)
-            s = jnp.where(keep, s, _MASK)
+            valid = keep if valid is None else valid & keep
+        if has_segids:
+            # Packed sequences: only same-segment pairs interact.
+            seg_ok = qseg_ref[0] == kvseg_ref[0]  # (bq,1)==(1,bkv)
+            valid = seg_ok if valid is None else valid & seg_ok
+        if valid is not None:
+            s = jnp.where(valid, s, _MASK)
 
         m_cur = jnp.max(s, axis=-1, keepdims=True)      # (block_q, 1)
 
+        def guard_p(p):
+            # Segment masking can fully mask a block row (its segment
+            # absent from this kv block) without the block being
+            # skipped; m stays at _MASK there and exp(_MASK - _MASK)=1
+            # would corrupt l/acc — zero those p entries explicitly.
+            if has_segids:
+                return jnp.where(valid, p, 0.0)
+            return p
+
         if n_kv_grid == 1:
-            p = jnp.exp(s - m_cur)
+            p = guard_p(jnp.exp(s - m_cur))
             l = jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v,
@@ -157,7 +175,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
         m_prev = m_ref[:][:, :1]
         l_prev = l_ref[:][:, :1]
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
+        p = guard_p(jnp.exp(s - m_new))
         corr = jnp.exp(m_prev - m_new)                  # (block_q, 1)
         l_new = corr * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
@@ -187,7 +205,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "causal", "block_q", "block_kv", "interpret", "window",
     "logit_cap", "save_lse"))
-def flash_mha(q, k, v, kv_lengths=None, *, cfg: GemmConfig, causal=False,
+def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
+              kv_segment_ids=None, *, cfg: GemmConfig, causal=False,
               block_q=512, block_kv=2048, interpret=False,
               window=None, logit_cap=None, save_lse=False):
     """Fused attention o = softmax(q·kᵀ)·v per head, streaming KV.
@@ -232,6 +251,21 @@ def flash_mha(q, k, v, kv_lengths=None, *, cfg: GemmConfig, causal=False,
             raise ValueError(f"kv_lengths must be ({k.shape[0]},), got "
                              f"{kv_lengths.shape}")
         kv_lengths = kv_lengths.astype(jnp.int32).reshape(-1, 1)
+    has_segids = q_segment_ids is not None
+    if has_segids != (kv_segment_ids is not None):
+        raise ValueError("q_segment_ids and kv_segment_ids must be "
+                         "passed together")
+    if has_segids:
+        if q_segment_ids.shape != (bsz, s_q) or \
+                kv_segment_ids.shape != (k.shape[0], s_kv):
+            raise ValueError(
+                f"segment ids must be ({bsz},{s_q}) / "
+                f"({k.shape[0]},{s_kv}), got {q_segment_ids.shape} / "
+                f"{kv_segment_ids.shape}")
+        # Layouts the kernel can compare without a transpose: q ids
+        # sublane-major (bq, 1), kv ids lane-major (1, bkv).
+        q_segment_ids = q_segment_ids.astype(jnp.int32)[..., None]
+        kv_segment_ids = kv_segment_ids.astype(jnp.int32)[:, None, :]
     kernel = functools.partial(
         _flash_kernel,
         n_kv_grid=n_kv,
@@ -244,6 +278,7 @@ def flash_mha(q, k, v, kv_lengths=None, *, cfg: GemmConfig, causal=False,
         window=window,
         logit_cap=logit_cap,
         has_kvlen=has_kvlen,
+        has_segids=has_segids,
         kv_group=group,
         save_lse=save_lse,
     )
@@ -283,12 +318,21 @@ def flash_mha(q, k, v, kv_lengths=None, *, cfg: GemmConfig, causal=False,
                      lambda b, i, j, g=group: (b // g, j, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = (q, k, v)
+    operands = [q, k, v]
     if has_kvlen:
         # Whole (B_kv, 1) array resident in SMEM; the kernel indexes its
         # own row (Mosaic rejects sub-(8,128) blocked SMEM specs).
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        operands = (q, k, v, kv_lengths)
+        operands.append(kv_lengths)
+    if has_segids:
+        in_specs.append(pl.BlockSpec(
+            (1, block_q, 1), lambda b, i, j: (b, i, 0),
+            memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_kv), lambda b, i, j, g=group: (b // g, 0, j),
+            memory_space=pltpu.VMEM))
+        operands.extend((q_segment_ids, kv_segment_ids))
+    operands = tuple(operands)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -329,7 +373,7 @@ def _zero_rows(x, limit):
 
 def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
                     block_q, block_kv, causal, precision, window=None,
-                    logit_cap=None):
+                    logit_cap=None, qseg=None, kvseg=None):
     """Shared block recompute: returns (p, ds, k, v) with p/ds f32
     (block_q, block_kv) and k/v row-zeroed at the kv overhang.
 
@@ -364,6 +408,8 @@ def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
         if window is not None:
             keep = keep & (kv_pos > q_pos - window)
         s = jnp.where(keep, s, _MASK)
+    if qseg is not None:
+        s = jnp.where(qseg == kvseg, s, _MASK)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -379,9 +425,13 @@ def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
 
 
 def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         dq_ref, acc_ref, *, n_kv_grid, kv_rem, block_q,
+                         *refs, n_kv_grid, kv_rem, block_q,
                          block_kv, causal, precision, out_dtype,
-                         window=None, logit_cap=None):
+                         window=None, logit_cap=None, has_segids=False):
+    if has_segids:
+        qseg_ref, kvseg_ref, dq_ref, acc_ref = refs
+    else:
+        dq_ref, acc_ref = refs
     j = pl.program_id(2) if n_kv_grid > 1 else 0
     i = pl.program_id(1)
 
@@ -396,7 +446,9 @@ def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             lse_ref[0], delta_ref[0], j=j, i=i, n_kv_grid=n_kv_grid,
             kv_rem=kv_rem, block_q=block_q, block_kv=block_kv,
             causal=causal, precision=precision, window=window,
-            logit_cap=logit_cap)
+            logit_cap=logit_cap,
+            qseg=qseg_ref[0] if has_segids else None,
+            kvseg=kvseg_ref[0] if has_segids else None)
         contrib = jax.lax.dot_general(
             ds.astype(kz.dtype), kz,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -424,12 +476,16 @@ def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dk_ref, dv_ref, dk_acc, dv_acc, *, n_q_grid,
+                          *refs, n_q_grid,
                           n_kv_grid, q_rem, kv_rem, block_q, block_kv,
                           causal, precision, out_dtype, window=None,
-                          logit_cap=None):
+                          logit_cap=None, has_segids=False):
     """Grid (batch, kv-tiles, q-tiles): q streamed innermost, the
     (block_kv, d) dk/dv accumulators stationary."""
+    if has_segids:
+        qseg_ref, kvseg_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+    else:
+        dk_ref, dv_ref, dk_acc, dv_acc = refs
     j = pl.program_id(1)
     i = pl.program_id(2) if n_q_grid > 1 else 0
 
@@ -447,7 +503,9 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             j=j, i=i, n_kv_grid=n_kv_grid,
             kv_rem=kv_rem, block_q=block_q, block_kv=block_kv,
             causal=causal, precision=precision, window=window,
-            logit_cap=logit_cap)
+            logit_cap=logit_cap,
+            qseg=qseg_ref[0] if has_segids else None,
+            kvseg=kvseg_ref[0] if has_segids else None)
         if q_rem:
             # The q overhang is NOT row-local here: garbage q rows feed
             # the over-q contractions below.  Zero p/ds rows AND the
@@ -506,10 +564,15 @@ def _bwd_common(q, k, v, cfg, block_q, block_kv):
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "causal", "block_q", "block_kv", "interpret", "window",
     "logit_cap"))
-def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
+def flash_mha_bwd_dq(qs, k, v, do, lse, delta, q_segment_ids=None,
+                     kv_segment_ids=None, *, cfg: GemmConfig,
                      causal=False, block_q=512, block_kv=2048,
                      interpret=False, window=None, logit_cap=None):
-    """dL/d(q·scale): grid (batch, q-tiles, kv-tiles), kv streamed."""
+    """dL/d(q·scale): grid (batch, q-tiles, kv-tiles), kv streamed.
+
+    ``q_segment_ids``/``kv_segment_ids`` arrive pre-shaped (B, S_q, 1) /
+    (B_kv, 1, S_kv) int32 (the layouts the kernel compares without a
+    transpose)."""
     bsz, s_q, s_kv, d, block_q, block_kv, group = _bwd_common(
         qs, k, v, cfg, block_q, block_kv)
     n_q = pl.cdiv(s_q, block_q)
@@ -520,7 +583,8 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
         n_kv_grid=n_kv, kv_rem=s_kv % block_kv,
         block_q=block_q, block_kv=block_kv, causal=causal,
         precision=_resolve_precision(cfg), out_dtype=qs.dtype,
-        window=window, logit_cap=logit_cap)
+        window=window, logit_cap=logit_cap,
+        has_segids=q_segment_ids is not None)
 
     kwargs = {}
     if not interpret:
@@ -535,17 +599,26 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
 
     qi = lambda b, i, j: (b, i, 0)                 # noqa: E731
     kvi = lambda b, i, j, g=group: (b // g, j, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+    ]
+    operands = [qs, k, v, do, lse, delta]
+    if q_segment_ids is not None:
+        in_specs.append(pl.BlockSpec((1, block_q, 1), qi,
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_kv), lambda b, i, j, g=group: (b // g, 0, j),
+            memory_space=pltpu.VMEM))
+        operands.extend((q_segment_ids, kv_segment_ids))
     return pl.pallas_call(
         kernel,
         grid=(bsz, n_q, n_kv),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), qi,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype),
@@ -553,13 +626,14 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
         interpret=interpret,
         name=f"flash_bwd_dq_{block_q}x{block_kv}x{d}",
         **kwargs,
-    )(qs, k, v, do, lse, delta)
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "causal", "block_q", "block_kv", "interpret", "window",
     "logit_cap"))
-def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
+def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, q_segment_ids=None,
+                      kv_segment_ids=None, *, cfg: GemmConfig,
                       causal=False, block_q=512, block_kv=2048,
                       interpret=False, window=None, logit_cap=None):
     """(dL/dk, dL/dv): grid (batch, kv-tiles, q-tiles), q streamed."""
@@ -574,7 +648,8 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
         q_rem=s_q % block_q, kv_rem=s_kv % block_kv,
         block_q=block_q, block_kv=block_kv, causal=causal,
         precision=_resolve_precision(cfg), out_dtype=k.dtype,
-        window=window, logit_cap=logit_cap)
+        window=window, logit_cap=logit_cap,
+        has_segids=q_segment_ids is not None)
 
     kwargs = {}
     if not interpret:
@@ -596,17 +671,26 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
                                memory_space=pltpu.VMEM)
     # dk/dv come back per q-head (bsz rows); for GQA the caller sums each
     # group of `group` rows down to the kv heads (in XLA, one reshape+sum).
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+        kv_in_spec,
+        kv_in_spec,
+        pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+    ]
+    operands = [qs, k, v, do, lse, delta]
+    if q_segment_ids is not None:
+        in_specs.append(pl.BlockSpec((1, block_q, 1), qi,
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_kv), lambda b, j, i, g=group: (b // g, 0, j),
+            memory_space=pltpu.VMEM))
+        operands.extend((q_segment_ids, kv_segment_ids))
     return pl.pallas_call(
         kernel,
         grid=(bsz, n_kv, n_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
-            kv_in_spec,
-            kv_in_spec,
-            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(kv_out_spec, kv_out_spec),
         out_shape=(jax.ShapeDtypeStruct((bsz, s_kv, d), k.dtype),
                    jax.ShapeDtypeStruct((bsz, s_kv, d), v.dtype)),
@@ -615,7 +699,7 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
         interpret=interpret,
         name=f"flash_bwd_dkv_{block_q}x{block_kv}x{d}",
         **kwargs,
-    )(qs, k, v, do, lse, delta)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -625,36 +709,48 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, *, cfg: GemmConfig,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def flash_mha_diff(qs, k, v, cfg: GemmConfig, causal, block_q, block_kv,
-                   interpret, window=None, logit_cap=None):
-    return flash_mha(qs, k, v, cfg=cfg, causal=causal, block_q=block_q,
+def _seg3(q_seg, kv_seg):
+    """Raw (B, S) int segment ids -> the kernel layouts."""
+    if q_seg is None:
+        return None, None
+    return (q_seg.astype(jnp.int32)[..., None],
+            kv_seg.astype(jnp.int32)[:, None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def flash_mha_diff(qs, k, v, q_seg, kv_seg, cfg: GemmConfig, causal,
+                   block_q, block_kv, interpret, window=None,
+                   logit_cap=None):
+    return flash_mha(qs, k, v, None, q_seg, kv_seg, cfg=cfg,
+                     causal=causal, block_q=block_q,
                      block_kv=block_kv, interpret=interpret,
                      window=window, logit_cap=logit_cap)
 
 
-def _flash_diff_fwd(qs, k, v, cfg, causal, block_q, block_kv, interpret,
-                    window=None, logit_cap=None):
-    o, lse = flash_mha(qs, k, v, cfg=cfg, causal=causal, block_q=block_q,
+def _flash_diff_fwd(qs, k, v, q_seg, kv_seg, cfg, causal, block_q,
+                    block_kv, interpret, window=None, logit_cap=None):
+    o, lse = flash_mha(qs, k, v, None, q_seg, kv_seg, cfg=cfg,
+                       causal=causal, block_q=block_q,
                        block_kv=block_kv, interpret=interpret,
                        window=window, logit_cap=logit_cap, save_lse=True)
-    return o, (qs, k, v, o, lse)
+    return o, (qs, k, v, o, lse, q_seg, kv_seg)
 
 
 def _flash_diff_bwd(cfg, causal, block_q, block_kv, interpret, window,
                     logit_cap, res, do):
-    qs, k, v, o, lse = res
+    qs, k, v, o, lse, q_seg, kv_seg = res
+    qseg3, kvseg3 = _seg3(q_seg, kv_seg)
     # Softmax-Jacobian row term Δ = Σ_d do ⊙ o, in f32 (one cheap
     # elementwise pass XLA fuses; the kernels read it per q-row).
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)
     do_c = do.astype(qs.dtype)
-    dqs = flash_mha_bwd_dq(qs, k, v, do_c, lse, delta, cfg=cfg,
-                           causal=causal, block_q=block_q,
+    dqs = flash_mha_bwd_dq(qs, k, v, do_c, lse, delta, qseg3, kvseg3,
+                           cfg=cfg, causal=causal, block_q=block_q,
                            block_kv=block_kv, interpret=interpret,
                            window=window, logit_cap=logit_cap)
-    dk, dv = flash_mha_bwd_dkv(qs, k, v, do_c, lse, delta, cfg=cfg,
-                               causal=causal, block_q=block_q,
+    dk, dv = flash_mha_bwd_dkv(qs, k, v, do_c, lse, delta, qseg3, kvseg3,
+                               cfg=cfg, causal=causal, block_q=block_q,
                                block_kv=block_kv, interpret=interpret,
                                window=window, logit_cap=logit_cap)
     group = qs.shape[0] // k.shape[0]
@@ -665,7 +761,14 @@ def _flash_diff_bwd(cfg, causal, block_q, block_kv, interpret, window,
             k.shape[0], group, *k.shape[1:]).sum(axis=1).astype(k.dtype)
         dv = dv.astype(jnp.float32).reshape(
             v.shape[0], group, *v.shape[1:]).sum(axis=1).astype(v.dtype)
-    return dqs, dk, dv
+    # Integer segment-id inputs take float0 cotangents.
+    import numpy as _np
+
+    ct_seg = (None if q_seg is None else
+              _np.zeros(q_seg.shape, jax.dtypes.float0))
+    ct_kvseg = (None if kv_seg is None else
+                _np.zeros(kv_seg.shape, jax.dtypes.float0))
+    return dqs, dk, dv, ct_seg, ct_kvseg
 
 
 flash_mha_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)

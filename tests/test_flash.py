@@ -369,3 +369,105 @@ def test_flash_kv_lengths_bad_shape():
     with pytest.raises(ValueError):
         flash_attention(q, q, q, kv_lengths=jnp.zeros((3,), jnp.int32),
                         interpret=True)
+
+
+def _packed_oracle(q, k, v, seg_q, seg_kv, causal=False):
+    q64 = np.asarray(q, np.float64)
+    k64 = np.asarray(k, np.float64)
+    v64 = np.asarray(v, np.float64)
+    s = q64 @ k64.transpose(0, 2, 1) / np.sqrt(q.shape[-1])
+    keep = seg_q[:, :, None] == seg_kv[:, None, :]
+    if causal:
+        sq, skv = s.shape[1:]
+        pos_q = np.arange(sq)[:, None]
+        pos_kv = np.arange(skv)[None, :]
+        keep = keep & (pos_kv <= pos_q)
+    s = np.where(keep, s, -np.inf)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    return (e / e.sum(-1, keepdims=True)) @ v64
+
+
+def test_flash_segment_ids_forward():
+    b, s, d = 2, 160, 64
+    seg = np.zeros((b, s), np.int32)
+    seg[:, 50:120] = 1
+    seg[:, 120:] = 2
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    out = flash_attention(q, k, v, q_segment_ids=jnp.asarray(seg),
+                          kv_segment_ids=jnp.asarray(seg), block_q=32,
+                          block_kv=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               _packed_oracle(q, k, v, seg, seg),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_segment_ids_causal_packed_training():
+    # The packed-pretraining configuration: causal + segments, with
+    # gradients — the standard TPU data layout.
+    b, s, d = 1, 128, 32
+    seg = np.zeros((b, s), np.int32)
+    seg[:, 40:90] = 1
+    seg[:, 90:] = 2
+    segj = jnp.asarray(seg)
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+
+    out = flash_attention(q, k, v, causal=True, q_segment_ids=segj,
+                          kv_segment_ids=segj, block_q=32, block_kv=32,
+                          interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _packed_oracle(q, k, v, seg, seg, causal=True),
+        rtol=1e-4, atol=1e-5)
+
+    def ours(q, k, v):
+        return jnp.sum(flash_attention(
+            q, k, v, causal=True, q_segment_ids=segj, kv_segment_ids=segj,
+            block_q=32, block_kv=32, interpret=True) ** 2)
+
+    def ref(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k) / np.sqrt(d)
+        pos = jnp.arange(s)
+        keep = ((jnp.asarray(seg)[:, :, None]
+                 == jnp.asarray(seg)[:, None, :])
+                & (pos[None, :] <= pos[:, None])[None])
+        sc = jnp.where(keep, sc, -jnp.inf)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v) ** 2)
+
+    g_ours = jax.grad(ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_flash_segment_ids_4d_gqa():
+    nb, sq, hq, hkv, d = 2, 64, 4, 2, 32
+    seg = np.zeros((nb, sq), np.int32)
+    seg[:, 30:] = 1
+    q = jnp.asarray(RNG.uniform(-1, 1, (nb, sq, hq, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (nb, sq, hkv, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (nb, sq, hkv, d)), jnp.float32)
+    out = flash_attention(q, k, v, q_segment_ids=jnp.asarray(seg),
+                          kv_segment_ids=jnp.asarray(seg), block_q=32,
+                          block_kv=32, interpret=True)
+    g = hq // hkv
+    for bi in range(nb):
+        for h in range(hq):
+            exp = _packed_oracle(np.asarray(q[bi, :, h][None]),
+                                 np.asarray(k[bi, :, h // g][None]),
+                                 np.asarray(v[bi, :, h // g][None]),
+                                 seg[bi:bi + 1], seg[bi:bi + 1])
+            np.testing.assert_allclose(np.asarray(out[bi, :, h][None]),
+                                       exp, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_segment_ids_require_both():
+    q = jnp.zeros((1, 32, 128))
+    with pytest.raises(ValueError):
+        flash_attention(q, q, q, q_segment_ids=jnp.zeros((1, 32),
+                                                         jnp.int32),
+                        interpret=True)

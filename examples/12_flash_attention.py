@@ -77,5 +77,46 @@ def main():
     print("OK")
 
 
+
+def serving_features():
+    """The serving/training mask surface, all in the same kernel."""
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((HEADS, SEQ, D_HEAD)), DTYPE)
+    k = jnp.asarray(rng.standard_normal((HEADS, SEQ, D_HEAD)), DTYPE)
+    v = jnp.asarray(rng.standard_normal((HEADS, SEQ, D_HEAD)), DTYPE)
+
+    # Sliding window (Mistral-style): O(S*window*D) work.
+    o_win = flash_attention(q, k, v, causal=True, window=64,
+                            block_q=64, block_kv=64)
+    print(f"sliding-window(64) causal: {o_win.shape}")
+
+    # Logit soft-cap (Gemma-style).
+    o_cap = flash_attention(q, k, v, causal=True, logit_cap=30.0,
+                            block_q=128, block_kv=128)
+    print(f"logit soft-cap(30): {o_cap.shape}")
+
+    # Packed sequences: two documents per row, causal within each.
+    seg = np.zeros((HEADS, SEQ), np.int32)
+    seg[:, SEQ // 2:] = 1
+    o_packed = flash_attention(q, k, v, causal=True,
+                               q_segment_ids=jnp.asarray(seg),
+                               kv_segment_ids=jnp.asarray(seg),
+                               block_q=64, block_kv=64)
+    print(f"packed causal (2 segments): {o_packed.shape}")
+
+    # Padded-cache decode: Sq=1 queries, per-example cache lengths, GQA
+    # (4 q heads per kv head).
+    qd = jnp.asarray(rng.standard_normal((8, 1, D_HEAD)), DTYPE)
+    kc = jnp.asarray(rng.standard_normal((2, SEQ, D_HEAD)), DTYPE)
+    vc = jnp.asarray(rng.standard_normal((2, SEQ, D_HEAD)), DTYPE)
+    lens = jnp.asarray(np.array([100, SEQ], np.int32))
+    o_dec = flash_attention(qd, kc, vc, kv_lengths=lens, block_q=8,
+                            block_kv=64)
+    print(f"GQA decode vs padded cache (lens {list(map(int, lens))}): "
+          f"{o_dec.shape}")
+    print("serving features OK")
+
+
 if __name__ == "__main__":
     main()
+    serving_features()

@@ -1,0 +1,51 @@
+"""Analytical attention model: structure + calibration sanity."""
+
+from gemm_hls_tpu.models.attn_model import attention_specifications
+from gemm_hls_tpu.models.perf_model import get_chip
+
+CHIP = get_chip("v5e")
+
+
+def test_matches_committed_captures_within_15pct():
+    # docs/BENCHMARKS.md flash table (v5e, bf16): the model must stay
+    # within +-15% of the middle of each measured band.
+    cases = [
+        ((32, 1024, 1024, 128), dict(block_q=512, block_kv=1024), 124.0),
+        ((8, 4096, 4096, 128), dict(block_q=512, block_kv=2048), 143.5),
+    ]
+    for args, kw, measured in cases:
+        spec = attention_specifications(*args, chip=CHIP, dtype="bfloat16",
+                                        **kw)
+        ratio = spec["expected_tflops"] / measured
+        assert 0.85 < ratio < 1.15, (args, spec["expected_tflops"], measured)
+
+
+def test_causal_halves_mxu_leg_at_fine_blocks():
+    full = attention_specifications(4, 4096, 4096, 128, block_q=128,
+                                    block_kv=128, chip=CHIP)
+    caus = attention_specifications(4, 4096, 4096, 128, causal=True,
+                                    block_q=128, block_kv=128, chip=CHIP)
+    assert 0.5 <= caus["live_fraction"] < 0.55
+    assert caus["mxu_s"] < 0.55 * full["mxu_s"]
+
+
+def test_window_reduces_live_fraction_further():
+    caus = attention_specifications(1, 8192, 8192, 128, causal=True,
+                                    block_q=256, block_kv=256, chip=CHIP)
+    win = attention_specifications(1, 8192, 8192, 128, causal=True,
+                                   window=1024, block_q=256, block_kv=256,
+                                   chip=CHIP)
+    assert win["live_fraction"] < 0.3 * caus["live_fraction"] + 0.05
+
+
+def test_decode_is_memory_bound():
+    spec = attention_specifications(32, 1, 2048, 128, block_q=8,
+                                    block_kv=512, chip=CHIP)
+    assert spec["bound"] == "memory"
+    assert spec["hbm_s"] > 10 * spec["mxu_s"]
+
+
+def test_flash_saves_the_probability_traffic():
+    spec = attention_specifications(32, 1024, 1024, 128, chip=CHIP)
+    # 2 * B * S^2 bf16 bytes (write + read of P) never spent.
+    assert spec["probability_bytes_saved"] == 2 * 32 * 1024 * 1024 * 2

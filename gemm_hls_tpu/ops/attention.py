@@ -128,6 +128,9 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         head row — or per batch element in the 4-D layout), for
         padded-cache decode: positions >= length are masked and KV
         blocks past the cache end are skipped.  Lengths must be >= 1.
+        With ``causal=True`` the queries are anchored at the cache END
+        ("bottom-right": q row r sits at position length - S_q + r), so
+        single-token decode attends the whole valid cache.
         Inference-only (no custom VJP on this path).
       q_segment_ids / kv_segment_ids: packed-sequence masks — int arrays
         (B, S) (or (batch, S) in the 4-D layout, broadcast over heads);

@@ -49,7 +49,8 @@ _MASK = -0.7 * jnp.finfo(jnp.float32).max
 def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
                   block_q, block_kv, causal, precision, out_dtype,
                   window=None, logit_cap=None, has_kvlen=False,
-                  has_segids=False, kv_group=1, save_lse=False):
+                  has_segids=False, kv_group=1, s_q_total=None,
+                  save_lse=False):
     """One (q-tile, kv-tile) step of online-softmax attention.
 
     ``refs`` = ([len_ref,] o_ref[, lse_ref], acc_ref, m_ref, l_ref);
@@ -89,6 +90,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
             live = live & ((j + 1) * block_kv > i * block_q - window + 1)
     if has_kvlen:
         kv_len = len_ref[pl.program_id(0) // kv_group, 0]
+        # Causal decode anchoring: the s_q query positions are the LAST
+        # s_q positions of the logical cache ("bottom-right" alignment),
+        # so q index r sits at absolute position kv_len - s_q + r.
+        causal_off = kv_len - s_q_total if causal else 0
+        if causal:
+            live = (j * block_kv
+                    < causal_off + (i + 1) * block_q)
+            if window is not None:
+                live = live & ((j + 1) * block_kv
+                               > causal_off + i * block_q - window + 1)
+    else:
+        causal_off = 0
     if has_kvlen and n_kv_grid > 1:
         live = live & (j * block_kv < kv_len)
 
@@ -136,7 +149,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
             v = jnp.where(ridx < limit, v, jnp.zeros((), v.dtype))
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            q_pos = i * block_q + row
+            q_pos = causal_off + i * block_q + row
             kv_pos = j * block_kv + col
             keep = kv_pos <= q_pos
             if window is not None:
@@ -231,6 +244,9 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
             k.shape[2] != d or bsz % k.shape[0]:
         raise ValueError(f"flash_mha shapes: {q.shape} x {k.shape} "
                          f"x {v.shape}")
+    if not (q.dtype == k.dtype == v.dtype):
+        raise ValueError(f"flash_mha dtype mismatch: {q.dtype} x "
+                         f"{k.dtype} x {v.dtype}")
     # Grouped-query attention: k/v may carry fewer heads than q (their
     # batch divides q's); each group of `group` q heads reads the same
     # kv head via the BlockSpec index map — no materialized broadcast.
@@ -280,6 +296,7 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
         has_kvlen=has_kvlen,
         has_segids=has_segids,
         kv_group=group,
+        s_q_total=s_q,
         save_lse=save_lse,
     )
 

@@ -75,8 +75,8 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
     n_ring = mesh.shape[axis]
     s_q, s_kv = q.shape[1], k.shape[1]
     if s_q % n_ring or s_kv % n_ring:
-        raise ValueError(f"sequence lengths ({s_q}, {s_kv}) must divide "
-                         f"the ring size {n_ring}")
+        raise ValueError(f"the ring size {n_ring} must divide both "
+                         f"sequence lengths ({s_q}, {s_kv})")
     if causal and s_q != s_kv:
         raise ValueError(
             f"causal ring attention needs S_q == S_kv, got {s_q} vs {s_kv}")
@@ -98,7 +98,7 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
                       block_kv, run_interpret)
 
 
-def _ring_shifts(axis, n_ring):
+def _ring_shifts(n_ring):
     return [(i, (i + 1) % n_ring) for i in range(n_ring)]
 
 
@@ -107,7 +107,7 @@ def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
     from gemm_hls_tpu.ops.pallas_flash import flash_mha
 
     n_ring = mesh.shape[axis]
-    perm = _ring_shifts(axis, n_ring)
+    perm = _ring_shifts(n_ring)
 
     def local(qs_blk, k_blk, v_blk):
         bsz, s_loc, d = qs_blk.shape
@@ -119,22 +119,22 @@ def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
                              block_kv=block_kv, interpret=run_interpret,
                              save_lse=True)
 
-        def body(t, carry):
-            o, lse, k_cur, v_cur = carry
+        def step_partial(t, k_cur, v_cur):
             if causal:
                 # Resident kv shard index after t forward rotations.
                 shard = (my - t) % n_ring
                 branch = jnp.where(shard == my, 0,
                                    jnp.where(shard < my, 1, 2))
-                o_p, lse_p = jax.lax.switch(branch, [
+                return jax.lax.switch(branch, [
                     lambda: partial_for(k_cur, v_cur, True),   # diagonal
                     lambda: partial_for(k_cur, v_cur, False),  # past
                     lambda: (jnp.zeros((bsz, s_loc, d), jnp.float32),
                              jnp.full((bsz, s_loc, 1), -jnp.inf,
                                       jnp.float32)),           # future
                 ])
-            else:
-                o_p, lse_p = partial_for(k_cur, v_cur, False)
+            return partial_for(k_cur, v_cur, False)
+
+        def combine(o, lse, o_p, lse_p):
             lse_new = jnp.logaddexp(lse, lse_p)
             # exp(-inf - -inf) = nan when a row is still empty AND the
             # step was skipped; a where() on the finite lse guards it.
@@ -142,15 +142,24 @@ def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
                               jnp.exp(lse - lse_new), 0.0)
             w_new = jnp.where(jnp.isfinite(lse_p),
                               jnp.exp(lse_p - lse_new), 0.0)
-            o = o * w_old + o_p * w_new
+            return o * w_old + o_p * w_new, lse_new
+
+        def body(t, carry):
+            # Rotate BEFORE compute: step t works on shard (my - t), and
+            # the loop runs t = 1..n-1 — no dead final rotation.
+            o, lse, k_cur, v_cur = carry
             k_cur = jax.lax.ppermute(k_cur, axis, perm)
             v_cur = jax.lax.ppermute(v_cur, axis, perm)
-            return o, lse_new, k_cur, v_cur
+            o_p, lse_p = step_partial(t, k_cur, v_cur)
+            o, lse = combine(o, lse, o_p, lse_p)
+            return o, lse, k_cur, v_cur
 
-        o0 = jnp.zeros((bsz, s_loc, d), jnp.float32)
-        lse0 = jnp.full((bsz, s_loc, 1), -jnp.inf, jnp.float32)
+        # Step 0 runs on the resident shard (always live under causal —
+        # it is the diagonal).
+        o, lse = step_partial(0, k_blk, v_blk)
+        o = o.astype(jnp.float32)
         o, lse, _, _ = jax.lax.fori_loop(
-            0, n_ring, body, (o0, lse0, k_blk, v_blk))
+            1, n_ring, body, (o, lse, k_blk, v_blk))
         return o.astype(qs_blk.dtype), lse
 
     spec = P(None, axis, None)
@@ -187,7 +196,7 @@ def _ring_core_bwd(mesh, axis, cfg, causal, block_q, block_kv,
 
     qs, k, v, o, lse = res
     n_ring = mesh.shape[axis]
-    perm = _ring_shifts(axis, n_ring)
+    perm = _ring_shifts(n_ring)
 
     def local(qs_blk, k_blk, v_blk, do_blk, o_blk, lse_blk):
         delta = jnp.sum(do_blk.astype(jnp.float32)
@@ -207,35 +216,38 @@ def _ring_core_bwd(mesh, axis, cfg, causal, block_q, block_kv,
                 interpret=run_interpret)
             return dqc, dkc.astype(jnp.float32), dvc.astype(jnp.float32)
 
-        def body(t, carry):
-            dq, dk, dv, k_cur, v_cur = carry
+        def step_grads(t, k_cur, v_cur):
             if causal:
                 shard = (my - t) % n_ring
                 branch = jnp.where(shard == my, 0,
                                    jnp.where(shard < my, 1, 2))
                 z_q = jnp.zeros(qs_blk.shape, jnp.float32)
                 z_kv = jnp.zeros(k_cur.shape, jnp.float32)
-                dqc, dkc, dvc = jax.lax.switch(branch, [
+                return jax.lax.switch(branch, [
                     lambda: grads_for(k_cur, v_cur, True),
                     lambda: grads_for(k_cur, v_cur, False),
                     lambda: (z_q, z_kv, z_kv),
                 ])
-            else:
-                dqc, dkc, dvc = grads_for(k_cur, v_cur, False)
-            dq = dq + dqc
-            dk = dk + dkc
-            dv = dv + dvc
-            # The shard and its gradient travel together.
+            return grads_for(k_cur, v_cur, False)
+
+        def body(t, carry):
+            # Rotate BEFORE compute (t = 1..n-1): each shard travels
+            # with its accumulating (dk, dv).
+            dq, dk, dv, k_cur, v_cur = carry
             k_cur = jax.lax.ppermute(k_cur, axis, perm)
             v_cur = jax.lax.ppermute(v_cur, axis, perm)
             dk = jax.lax.ppermute(dk, axis, perm)
             dv = jax.lax.ppermute(dv, axis, perm)
-            return dq, dk, dv, k_cur, v_cur
+            dqc, dkc, dvc = step_grads(t, k_cur, v_cur)
+            return dq + dqc, dk + dkc, dv + dvc, k_cur, v_cur
 
-        z_q = jnp.zeros(qs_blk.shape, jnp.float32)
-        z_kv = jnp.zeros(k_blk.shape, jnp.float32)
+        dq, dk, dv = step_grads(0, k_blk, v_blk)
         dq, dk, dv, _, _ = jax.lax.fori_loop(
-            0, n_ring, body, (z_q, z_kv, z_kv, k_blk, v_blk))
+            1, n_ring, body, (dq, dk, dv, k_blk, v_blk))
+        # One final gradient-only rotation sends each shard's completed
+        # (dk, dv) home (the KV payload itself no longer needs to move).
+        dk = jax.lax.ppermute(dk, axis, perm)
+        dv = jax.lax.ppermute(dv, axis, perm)
         return (dq.astype(qs_blk.dtype), dk.astype(k_blk.dtype),
                 dv.astype(v_blk.dtype))
 

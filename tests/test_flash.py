@@ -471,3 +471,48 @@ def test_flash_segment_ids_require_both():
         flash_attention(q, q, q, q_segment_ids=jnp.zeros((1, 32),
                                                          jnp.int32),
                         interpret=True)
+
+
+def test_flash_causal_decode_anchored_at_cache_end():
+    # causal + kv_lengths: q rows are the LAST rows of the valid cache.
+    hq, cache, d = 2, 128, 32
+    lens = np.array([100, 128], np.int32)
+    q = jnp.asarray(RNG.uniform(-1, 1, (hq, 1, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (hq, cache, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (hq, cache, d)), jnp.float32)
+    out = flash_attention(q, k, v, causal=True,
+                          kv_lengths=jnp.asarray(lens), block_q=8,
+                          block_kv=32, interpret=True)
+    # Sq=1 at the cache end == plain attention over the valid prefix.
+    for h, ln in enumerate(lens):
+        exp = _ref(np.asarray(q[h:h + 1]), np.asarray(k[h:h + 1, :ln]),
+                   np.asarray(v[h:h + 1, :ln]))
+        np.testing.assert_allclose(np.asarray(out[h:h + 1]), exp,
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"head {h} len {ln}")
+
+
+def test_flash_causal_decode_multi_token_chunk():
+    # Chunked prefill tail: Sq=4 anchored at the end of a 60-long cache.
+    b, sq, cache, d = 1, 4, 96, 32
+    ln = 60
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, sq, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, cache, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, cache, d)), jnp.float32)
+    out = flash_attention(q, k, v, causal=True,
+                          kv_lengths=jnp.asarray([ln], jnp.int32),
+                          block_q=8, block_kv=32, interpret=True)
+    # Row r attends cache[: ln - sq + r + 1].
+    for r in range(sq):
+        hi = ln - sq + r + 1
+        exp = _ref(np.asarray(q[:, r:r + 1]), np.asarray(k[:, :hi]),
+                   np.asarray(v[:, :hi]))
+        np.testing.assert_allclose(np.asarray(out[:, r:r + 1]), exp,
+                                   rtol=1e-4, atol=1e-5, err_msg=f"row {r}")
+
+
+def test_flash_rejects_mixed_dtypes():
+    q = jnp.zeros((1, 32, 128), jnp.bfloat16)
+    kf = jnp.zeros((1, 32, 128), jnp.float32)
+    with pytest.raises(ValueError, match="dtype"):
+        flash_attention(q, kf, kf, interpret=True)

@@ -23,6 +23,8 @@ from gemm_hls_tpu.ops.semiring import (
 from gemm_hls_tpu.ops.matmul import matmul
 from gemm_hls_tpu.ops.attention import (attention, attention_scores,
                                          flash_attention)
+from gemm_hls_tpu.ops.quant import (dequantize_weights, matmul_quantized,
+                                    quantize_weights)
 
 __version__ = "0.1.0"
 
@@ -36,5 +38,8 @@ __all__ = [
     "matmul",
     "attention",
     "flash_attention",
+    "matmul_quantized",
+    "quantize_weights",
+    "dequantize_weights",
     "attention_scores",
 ]

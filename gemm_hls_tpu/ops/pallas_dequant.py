@@ -1,0 +1,212 @@
+"""Fused weight-dequantizing CA-GEMM: y = x · dequant(w_q, scales).
+
+The weights stream HBM→VMEM *quantized* (int8, or int4 packed two per
+byte) and expand to the compute dtype in-register, so the dominant
+B-panel traffic of a small-batch inference GEMM shrinks 2×/4× — the
+reference's width-conversion-in-the-stream idea
+(``kernel/Memory.cpp:289-321``) applied to quantization.
+
+Schedule = the standard CA kernel (``ops/pallas_mxu.py``): stationary
+f32 accumulator, K streamed innermost.  Scales are applied to each
+K-block's *contribution* (``acc += dot(x, w_blk) · s[kg]``), which is
+exact when the scale group equals ``block_k`` (group-wise) or spans the
+whole K (per-channel — then every step sees the same scale row).
+
+int4 unpacking is planar (``ops/quant.py::quantize_weights``): a packed
+block holds its group's low-half rows in the low nibbles and high-half
+rows in the high nibbles, so the kernel expands with two arithmetic
+shifts and one sublane concat — no lane interleave.
+
+Inference path (no custom VJP): training keeps full-precision weights.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gemm_hls_tpu.config import GemmConfig, round_up, sublane
+from gemm_hls_tpu.ops.pallas_mxu import _resolve_precision
+
+
+def _dequant_kernel(x_ref, wq_ref, s_ref, o_ref, acc_ref, *, n_k_grid,
+                    bits, groups_per_block, group, precision, out_dtype,
+                    compute_dtype):
+    k_step = pl.program_id(2) if n_k_grid > 1 else 0
+
+    if n_k_grid > 1:
+        @pl.when(k_step == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wq = wq_ref[:]
+    if bits == 4:
+        # Planar nibbles -> per-group row-halves (int8 shifts don't
+        # lower in Mosaic; widen to int32 for the arithmetic shifts).
+        # Packed rows are group-ordered, so a block of gpb groups
+        # unpacks groupwise: (gpb, g/2, bn) -> concat halves on axis 1.
+        w32 = wq.astype(jnp.int32)
+        lo = (w32 << 28) >> 28
+        hi = w32 >> 4
+        if groups_per_block == 1:
+            w_int = jnp.concatenate([lo, hi], axis=0)
+        else:
+            half = group // 2
+            bn = wq.shape[-1]
+            w_int = jnp.concatenate(
+                [lo.reshape(groups_per_block, half, bn),
+                 hi.reshape(groups_per_block, half, bn)],
+                axis=1).reshape(groups_per_block * group, bn)
+    else:
+        # Via int32: measured ~12% faster than the direct int8->bf16
+        # conversion (sublane retile happens on the cheap int side).
+        w_int = wq.astype(jnp.int32)
+
+    if groups_per_block == 1:
+        # Exact post-dot scaling: one f32 scale row for the whole block.
+        w = w_int.astype(compute_dtype)
+        contrib = jax.lax.dot_general(
+            x_ref[:], w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        contrib = contrib * s_ref[0]      # (1, bn) scale row broadcast
+    else:
+        # Multiple scale groups per K-block: fold scales into the
+        # weights pre-dot (costs one bf16 rounding of w_q*s — fine at
+        # these quantization error levels, and it cuts the grid-step
+        # count, whose latch dominated the int4 path at group-sized
+        # blocks: 512 steps * 220 ns on the bench shape).
+        bn = w_int.shape[-1]
+        w3 = (w_int.astype(jnp.float32).reshape(
+            groups_per_block, group, bn) * s_ref[:])
+        w = w3.reshape(groups_per_block * group, bn).astype(compute_dtype)
+        contrib = jax.lax.dot_general(
+            x_ref[:], w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    if n_k_grid == 1:
+        o_ref[:] = contrib.astype(out_dtype)
+        return
+    acc_ref[:] += contrib
+
+    @pl.when(k_step == n_k_grid - 1)
+    def _store():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bits", "group_size",
+                                             "interpret"))
+def dequant_matmul(x, w_q, scales, *, cfg: GemmConfig, bits: int = 8,
+                   group_size=None, interpret: bool = False):
+    """y[M, N] = x[M, K] · dequant(w_q, scales).
+
+    Args:
+      x: (M, K) activations (bf16/f32 — sets the MXU compute dtype).
+      w_q: int8 weights from ``quantize_weights``: (K, N) for bits=8,
+        (K//2, N) planar-packed for bits=4.
+      scales: f32 (K/group_size, N); (1, N) for per-channel.
+      bits / group_size: must match the quantizer's.
+
+    Constraints (enforced): K % block_k == 0 (quantized streams carry no
+    K-tail masking); group-wise scales need ``group_size == block_k``;
+    int4 additionally needs the packing group to equal ``block_k`` (so a
+    packed block expands to exactly its own K rows) — per-channel int4
+    therefore requires block_k == K.
+    """
+    m, k_dim = x.shape
+    n = w_q.shape[1]
+    # Small-batch inference is the point of this kernel: clamp block_m
+    # to the (sublane-aligned) problem so the MXU never multiplies
+    # padding rows (an un-clamped 512-row block at M=32 was measured 3x
+    # slower than the weight-stream bound).
+    bm = min(cfg.block_m, round_up(m, sublane(cfg.dtype)))
+    bn, bk = min(cfg.block_n, n), min(cfg.block_k, k_dim)
+    if w_q.dtype != jnp.int8:
+        raise ValueError(f"w_q must be int8, got {w_q.dtype}")
+    if k_dim % bk:
+        raise ValueError(f"K={k_dim} must be a multiple of block_k={bk} "
+                         "on the quantized path")
+    n_groups = scales.shape[0]
+    g = group_size or k_dim
+    if n_groups != k_dim // g or scales.shape[1] != n:
+        raise ValueError(f"scales shape {scales.shape} inconsistent with "
+                         f"K={k_dim}, group_size={g}, N={n}")
+    if n_groups > 1 and (g > bk or bk % g):
+        raise ValueError(
+            f"block_k {bk} must be a whole multiple of group_size {g} "
+            "(scales cannot straddle K-blocks; matmul_quantized aligns "
+            "this automatically)")
+    gpb = bk // g if n_groups > 1 else 1
+    packed_rows = k_dim // 2 if bits == 4 else k_dim
+    if w_q.shape[0] != packed_rows:
+        raise ValueError(f"w_q rows {w_q.shape[0]} != expected "
+                         f"{packed_rows} for bits={bits}")
+
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), k_dim // bk)
+    two_d = grid[2] == 1
+    wq_rows = bk // 2 if bits == 4 else bk
+
+    kernel = functools.partial(
+        _dequant_kernel,
+        n_k_grid=grid[2],
+        bits=bits,
+        groups_per_block=gpb,
+        group=g,
+        precision=_resolve_precision(cfg),
+        out_dtype=cfg.jout_dtype,
+        compute_dtype=x.dtype,
+    )
+
+    # Scales ride as (G, 1, N) so their blocks are (1, 1, bn) — a
+    # (1, bn) block of a (G, N) array violates Mosaic's sublane rule
+    # when G > 1.
+    scales = scales.reshape(n_groups, 1, n)
+    if two_d:
+        x_index = lambda i, j: (i, 0)                   # noqa: E731
+        w_index = lambda i, j: (0, j)                   # noqa: E731
+        s_index = lambda i, j: (0, 0, j)                # noqa: E731
+        o_index = lambda i, j: (i, j)                   # noqa: E731
+        dims = ("parallel", "parallel")
+    else:
+        x_index = lambda i, j, kk: (i, kk)              # noqa: E731
+        w_index = lambda i, j, kk: (kk, j)              # noqa: E731
+        o_index = lambda i, j, kk: (i, j)               # noqa: E731
+        if n_groups > 1:
+            s_index = lambda i, j, kk: (kk, 0, j)       # noqa: E731
+        else:
+            s_index = lambda i, j, kk: (0, 0, j)        # noqa: E731
+        dims = ("parallel", "parallel", "arbitrary")
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=dims,
+            vmem_limit_bytes=cfg.vmem_limit_bytes,
+        )
+        kwargs["cost_estimate"] = pl.CostEstimate(
+            flops=2 * m * n * k_dim,
+            bytes_accessed=(m * k_dim * x.dtype.itemsize
+                            + packed_rows * n
+                            + m * n * jnp.dtype(cfg.jout_dtype).itemsize),
+            transcendentals=0,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid[:2] if two_d else grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((wq_rows, bn), w_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb if n_groups > 1 else 1, 1, bn), s_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), o_index, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), cfg.jout_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        name=f"ca_gemm_dequant{bits}_{bm}x{bn}x{bk}",
+        **kwargs,
+    )(x, w_q, scales)

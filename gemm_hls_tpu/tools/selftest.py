@@ -251,6 +251,31 @@ def main(argv=None):
     check("flash attention (causal GQA, streamed kv) + grad",
           flash_attention_check)
 
+    def quantized_matmul_check():
+        # Fused-dequant weight-only quantized GEMM (int8 per-channel +
+        # planar int4 group-wise) vs the host dequant oracle.
+        from gemm_hls_tpu.ops.quant import (
+            dequantize_weights, matmul_quantized, quantize_weights,
+        )
+
+        rng = np.random.default_rng(13)
+        w = (rng.standard_normal((512, 256)) / 16).astype(np.float32)
+        x = jnp.asarray(rng.standard_normal((32, 512)), jnp.bfloat16)
+        worst = 0.0
+        for bits, g in ((8, None), (4, 128)):
+            wq, s = quantize_weights(w, bits=bits, group_size=g)
+            got = np.asarray(jax.jit(lambda a, b, c: matmul_quantized(
+                a, b, c, bits=bits, group_size=g, out_dtype="float32"))(
+                x, jnp.asarray(wq), jnp.asarray(s)), np.float32)
+            ref = np.asarray(x, np.float32) @ dequantize_weights(
+                wq, s, bits=bits, group_size=g)
+            worst = max(worst, float(np.abs(got - ref).max()
+                                     / np.abs(ref).max()))
+        # bf16 activations bound the fused-vs-host agreement at ~1e-2.
+        return worst < 2e-2, worst
+    check("quantized GEMM (int8 + int4 fused dequant)",
+          quantized_matmul_check)
+
     n_pass = sum(results)
     print(f"{n_pass}/{len(results)} checks passed")
     return 0 if n_pass == len(results) else 1

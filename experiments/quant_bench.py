@@ -32,7 +32,8 @@ def main():
 
     from gemm_hls_tpu import GemmConfig, matmul
     from gemm_hls_tpu.ops.quant import (
-        dequantize_weights, matmul_quantized, quantize_weights,
+        dequantize_weights, matmul_quantized, matmul_w8a8,
+        quantize_weights,
     )
     from gemm_hls_tpu.utils.benchmark import time_fn
 
@@ -63,9 +64,15 @@ def main():
             "int4_g128": (jax.jit(functools.partial(
                 matmul_quantized, bits=4, group_size=128)),
                 (x, wq4j, s4j)),
+            "w8a8": (jax.jit(matmul_w8a8), (x, wq8j, s8j)),
         }
 
-        ref = np.asarray(x, np.float32) @ w
+        # Reference on-device at HIGHEST (host numpy takes minutes at
+        # large M in this container).
+        w_f32 = jnp.asarray(w)
+        ref = np.asarray(jax.jit(lambda a, b: jnp.dot(
+            a.astype(jnp.float32), b,
+            precision=jax.lax.Precision.HIGHEST))(x, w_f32), np.float32)
         for name, (fn, fargs) in impls.items():
             got = np.asarray(fn(*fargs), np.float32)
             err = np.abs(got - ref).max() / np.abs(ref).max()
@@ -73,7 +80,7 @@ def main():
             # not a kernel bound — kernel exactness is covered by the
             # host-dequant CPU suite (tests/test_quant.py).
             lim = {"bf16": 0.02, "xla_bf16": 0.02, "int8": 0.02,
-                   "int4_g128": 0.15}[name]
+                   "int4_g128": 0.15, "w8a8": 0.04}[name]
             print(f"verify M={m} {name}: rel {err:.3f}"
                   + ("  !! BAD" if err > lim else ""), flush=True)
 
@@ -87,14 +94,16 @@ def main():
             print(f"M={m} {name}: {med[name]:.1f} TF", flush=True)
         rows.append((m, med))
         print(f"M={m}: int8 {med['int8']/med['bf16']:.2f}x bf16, "
-              f"int4 {med['int4_g128']/med['bf16']:.2f}x bf16", flush=True)
+              f"int4 {med['int4_g128']/med['bf16']:.2f}x, "
+              f"w8a8 {med['w8a8']/med['bf16']:.2f}x", flush=True)
 
     if args.csv:
         with open(args.csv, "w") as f:
-            f.write("m,bf16_tf,xla_bf16_tf,int8_tf,int4_tf\n")
+            f.write("m,bf16_tf,xla_bf16_tf,int8_tf,int4_tf,w8a8_tf\n")
             for m, med in rows:
                 f.write(f"{m},{med['bf16']:.1f},{med['xla_bf16']:.1f},"
-                        f"{med['int8']:.1f},{med['int4_g128']:.1f}\n")
+                        f"{med['int8']:.1f},{med['int4_g128']:.1f},"
+                        f"{med['w8a8']:.1f}\n")
 
 
 if __name__ == "__main__":

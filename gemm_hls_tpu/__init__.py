@@ -24,7 +24,7 @@ from gemm_hls_tpu.ops.matmul import matmul
 from gemm_hls_tpu.ops.attention import (attention, attention_scores,
                                          flash_attention)
 from gemm_hls_tpu.ops.quant import (dequantize_weights, matmul_quantized,
-                                    quantize_weights)
+                                    matmul_w8a8, quantize_weights)
 
 __version__ = "0.1.0"
 
@@ -39,6 +39,7 @@ __all__ = [
     "attention",
     "flash_attention",
     "matmul_quantized",
+    "matmul_w8a8",
     "quantize_weights",
     "dequantize_weights",
     "attention_scores",

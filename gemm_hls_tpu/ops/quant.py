@@ -132,3 +132,33 @@ def matmul_quantized(x, w_q, scales, *, bits: int = 8,
                           jnp.asarray(scales, jnp.float32), cfg=cfg,
                           bits=bits, group_size=group_size,
                           interpret=_resolve_interpret(cfg))
+
+
+def matmul_w8a8(x, w_q, scales, *, group_size: Optional[int] = None,
+                config=None, out_dtype=None,
+                interpret: Optional[bool] = None):
+    """y ≈ x · dequant(w_q, scales) on the int8 MXU engine (~2× bf16
+    where compute-bound): activations are dynamically quantized per row
+    (symmetric int8), the dot runs int8×int8→int32 exactly, and both
+    scales apply on the f32 accumulator.  Error ~1e-2.  Inference path.
+    """
+    import jax.numpy as jnp
+
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.matmul import _resolve_interpret
+    from gemm_hls_tpu.ops.pallas_dequant import w8a8_matmul
+
+    k = x.shape[1]
+    g = group_size or k
+    cfg = config or default_config("int8")
+    bk = min(cfg.block_k, k)
+    if g != k:
+        bk = g
+    cfg = cfg.replace(dtype="int8", block_k=bk,
+                      out_dtype=str(jnp.dtype(out_dtype or jnp.float32)))
+    if interpret is not None:
+        cfg = cfg.replace(interpret=interpret)
+    return w8a8_matmul(jnp.asarray(x), jnp.asarray(w_q),
+                       jnp.asarray(scales, jnp.float32), cfg=cfg,
+                       group_size=group_size,
+                       interpret=_resolve_interpret(cfg))

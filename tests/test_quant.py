@@ -122,3 +122,42 @@ def test_quantized_end_to_end_error_is_quantization_bounded():
     ref = x @ w
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.02, rel
+
+
+def test_w8a8_matches_quantized_oracle():
+    from gemm_hls_tpu.ops.pallas_dequant import quantize_activations
+    from gemm_hls_tpu.ops.quant import matmul_w8a8
+
+    w = RNG.standard_normal((256, 128)).astype(np.float32)
+    x = RNG.standard_normal((32, 256)).astype(np.float32)
+    for g in (None, 64):
+        wq, s = quantize_weights(w, bits=8, group_size=g)
+        got = np.asarray(matmul_w8a8(jnp.asarray(x), jnp.asarray(wq),
+                                     jnp.asarray(s), group_size=g,
+                                     interpret=True))
+        xq, sx = quantize_activations(jnp.asarray(x))
+        ref = (np.asarray(xq, np.float32) * np.asarray(sx)) \
+            @ dequantize_weights(wq, s, bits=8, group_size=g)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_w8a8_end_to_end_error_bounded():
+    from gemm_hls_tpu.ops.quant import matmul_w8a8
+
+    w = (RNG.standard_normal((512, 256)) / 16).astype(np.float32)
+    x = RNG.standard_normal((64, 512)).astype(np.float32)
+    wq, s = quantize_weights(w, bits=8)
+    got = np.asarray(matmul_w8a8(jnp.asarray(x), jnp.asarray(wq),
+                                 jnp.asarray(s), interpret=True))
+    ref = x @ w
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel
+
+
+def test_w8a8_zero_row_guard():
+    from gemm_hls_tpu.ops.pallas_dequant import quantize_activations
+
+    x = jnp.zeros((8, 64), jnp.float32)
+    xq, sx = quantize_activations(x)
+    assert np.isfinite(np.asarray(sx)).all()
+    np.testing.assert_array_equal(np.asarray(xq), 0)

@@ -332,10 +332,47 @@ def main():
                 f"ratio {flash_tf/dpa_tf:.2f})")
         except Exception as e:  # noqa: BLE001
             log(f"flash attention bench FAILED: {e}")
+
+        # Quantized inference GEMMs at N=K=8192: weight-only int4 at
+        # the bandwidth-bound M=32, W8A8 on the int8 engine at the
+        # compute-bound M=2048 (vs this run's own bf16 rate class).
+        int4_tf = w8a8_tf = None
+        try:
+            from gemm_hls_tpu.ops.quant import (
+                matmul_quantized, matmul_w8a8, quantize_weights,
+            )
+
+            qrng = np.random.default_rng(5)
+            wfull = (qrng.standard_normal((8192, 8192))
+                     / 91.0).astype(np.float32)
+            wq4, s4 = quantize_weights(wfull, bits=4, group_size=128)
+            wq8, s8 = quantize_weights(wfull, bits=8)
+            wq4j, s4j = jnp.asarray(wq4), jnp.asarray(s4)
+            wq8j, s8j = jnp.asarray(wq8), jnp.asarray(s8)
+            del wfull, wq4, wq8
+
+            x32 = jnp.asarray(qrng.standard_normal((32, 8192)),
+                              jnp.bfloat16)
+            f4 = jax.jit(lambda a, b, c: matmul_quantized(
+                a, b, c, bits=4, group_size=128))
+            t4 = time_fn(f4, [(x32, wq4j, s4j)], iters=300)
+            int4_tf = 2 * 32 * 8192 * 8192 / t4 / 1e12
+            log(f"int4 weight-only 32x8192^2: {t4*1e6:.0f} us -> "
+                f"{int4_tf:.1f} TF")
+
+            x2k = jnp.asarray(qrng.standard_normal((2048, 8192)),
+                              jnp.bfloat16)
+            f88 = jax.jit(matmul_w8a8)
+            t88 = time_fn(f88, [(x2k, wq8j, s8j)], iters=40)
+            w8a8_tf = 2 * 2048 * 8192 * 8192 / t88 / 1e12
+            log(f"w8a8 2048x8192^2: {t88*1e3:.2f} ms -> {w8a8_tf:.1f} TF")
+        except Exception as e:  # noqa: BLE001
+            log(f"quantized bench FAILED: {e}")
     else:
         int8_gf, t_mp, oz_gf = None, None, None
         i8x2_gf = i8x3_gf = i8x4_gf = xla_int8_gf = None
         flash_tf = dpa_tf = None
+        int4_tf = w8a8_tf = None
 
     # Headline fp32: fastest mode passing the reference's 1e-3 contract.
     passing = {name: r for name, r in f32_rate.items()
@@ -375,6 +412,8 @@ def main():
         "attention_dpa_tf": round(dpa_tf, 1) if dpa_tf else None,
         "attention_vs_dpa": (round(flash_tf / dpa_tf, 2)
                              if flash_tf and dpa_tf else None),
+        "int4_weight_only_m32_tf": round(int4_tf, 1) if int4_tf else None,
+        "w8a8_2048_tf": round(w8a8_tf, 1) if w8a8_tf else None,
         "chip": chip.name,
     }
     if unreliable:

@@ -42,7 +42,7 @@ from gemm_hls_tpu.config import GemmConfig, default_config
 
 
 def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
-                         causal: bool = False,
+                         causal: bool = False, zigzag: bool = False,
                          scale: Optional[float] = None,
                          block_q: int = 512, block_kv: int = 2048,
                          config: Optional[GemmConfig] = None,
@@ -54,6 +54,14 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
         P(None, axis, None) — batch/heads replicated, sequence sharded).
       mesh: the device mesh; ``axis`` names the ring dimension.
       scale: score scale, default 1/sqrt(D).
+      zigzag: causal-only load balancing — device ``d`` of ``n`` holds
+        sequence chunks ``(d, 2n-1-d)`` of ``2n``, so every ring step
+        runs exactly two full chunk-pair flash calls per device instead
+        of leaving later-positioned devices with more live (non-future)
+        steps.  Inputs/outputs stay in natural sequence order — the
+        zigzag permutation is applied (and inverted) internally; callers
+        that keep activations in zigzag layout across layers can use
+        :func:`zigzag_indices` and skip the gathers.
 
     Returns (B, S, D) in q's dtype, sequence-sharded like the inputs.
 
@@ -80,6 +88,13 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
     if causal and s_q != s_kv:
         raise ValueError(
             f"causal ring attention needs S_q == S_kv, got {s_q} vs {s_kv}")
+    if zigzag:
+        if not causal:
+            raise ValueError("zigzag=True is a causal load-balancing "
+                             "layout; it requires causal=True")
+        if s_q % (2 * n_ring):
+            raise ValueError(f"zigzag needs 2*ring_size ({2 * n_ring}) "
+                             f"to divide the sequence length ({s_q})")
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
 
@@ -90,16 +105,58 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
     run_interpret = _resolve_interpret(cfg)
 
     spec = P(None, axis, None)
-    q = jax.device_put(q, NamedSharding(mesh, spec))
+    qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
+    if zigzag:
+        # Permute token order OUTSIDE the custom-VJP core: plain jnp
+        # gathers, so autodiff routes the cotangent permutations for
+        # free and the core only ever sees zigzag layout.
+        order = zigzag_indices(s_q, n_ring)
+        inv = jnp.argsort(order)
+        qs, k, v = (x[:, order, :] for x in (qs, k, v))
+    qs = jax.device_put(qs, NamedSharding(mesh, spec))
     k = jax.device_put(k, NamedSharding(mesh, spec))
     v = jax.device_put(v, NamedSharding(mesh, spec))
-    qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
+    if zigzag:
+        out = _zz_core(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+                       run_interpret)
+        return out[:, inv, :]
     return _ring_core(qs, k, v, mesh, axis, cfg, causal, block_q,
                       block_kv, run_interpret)
 
 
+def zigzag_indices(s: int, n_ring: int):
+    """Token permutation mapping natural order → zigzag ring layout.
+
+    The sequence splits into ``2*n_ring`` chunks; device ``d`` holds
+    chunks ``d`` and ``2*n_ring-1-d`` concatenated.  Returns an int32
+    index array ``order`` with ``x_zigzag = x[:, order]``; invert with
+    ``jnp.argsort(order)``."""
+    if s % (2 * n_ring):
+        raise ValueError(f"2*ring_size ({2 * n_ring}) must divide the "
+                         f"sequence length ({s})")
+    c = s // (2 * n_ring)
+    chunks = []
+    for d in range(n_ring):
+        chunks.extend([d, 2 * n_ring - 1 - d])
+    idx = (jnp.asarray(chunks, jnp.int32)[:, None] * c
+           + jnp.arange(c, dtype=jnp.int32)[None, :])
+    return idx.reshape(-1)
+
+
 def _ring_shifts(n_ring):
     return [(i, (i + 1) % n_ring) for i in range(n_ring)]
+
+
+def _lse_combine(o, lse, o_p, lse_p):
+    """Associative log-sum-exp merge of two normalized partials.
+
+    exp(-inf - -inf) = nan when a row is still empty AND the incoming
+    partial is a skipped step; the where() on the finite lse guards it.
+    """
+    lse_new = jnp.logaddexp(lse, lse_p)
+    w_old = jnp.where(jnp.isfinite(lse), jnp.exp(lse - lse_new), 0.0)
+    w_new = jnp.where(jnp.isfinite(lse_p), jnp.exp(lse_p - lse_new), 0.0)
+    return o * w_old + o_p * w_new, lse_new
 
 
 def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
@@ -134,16 +191,6 @@ def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
                 ])
             return partial_for(k_cur, v_cur, False)
 
-        def combine(o, lse, o_p, lse_p):
-            lse_new = jnp.logaddexp(lse, lse_p)
-            # exp(-inf - -inf) = nan when a row is still empty AND the
-            # step was skipped; a where() on the finite lse guards it.
-            w_old = jnp.where(jnp.isfinite(lse),
-                              jnp.exp(lse - lse_new), 0.0)
-            w_new = jnp.where(jnp.isfinite(lse_p),
-                              jnp.exp(lse_p - lse_new), 0.0)
-            return o * w_old + o_p * w_new, lse_new
-
         def body(t, carry):
             # Rotate BEFORE compute: step t works on shard (my - t), and
             # the loop runs t = 1..n-1 — no dead final rotation.
@@ -151,7 +198,7 @@ def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
             k_cur = jax.lax.ppermute(k_cur, axis, perm)
             v_cur = jax.lax.ppermute(v_cur, axis, perm)
             o_p, lse_p = step_partial(t, k_cur, v_cur)
-            o, lse = combine(o, lse, o_p, lse_p)
+            o, lse = _lse_combine(o, lse, o_p, lse_p)
             return o, lse, k_cur, v_cur
 
         # Step 0 runs on the resident shard (always live under causal —
@@ -259,3 +306,204 @@ def _ring_core_bwd(mesh, axis, cfg, causal, block_q, block_kv,
 
 
 _ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Zigzag (load-balanced causal) ring
+# ---------------------------------------------------------------------------
+#
+# Plain contiguous sharding leaves device d with d+1 live (non-future)
+# ring steps out of n — the last device does ~2x the mean work and the
+# ring's wall clock is its critical path.  Zigzag layout pairs chunk d
+# with chunk 2n-1-d on device d (2n chunks total), which makes the
+# per-step live work UNIFORM:
+#
+#   q_lo = chunk my        (early half:  index < n)
+#   q_hi = chunk 2n-1-my   (late half:   index >= n)
+#   resident kv shard at step t comes from src = (my - t) mod n
+#
+#   (q_hi, kv_lo): kv index src < n <= 2n-1-my          — always past
+#   (q_lo, kv_hi): kv index 2n-1-src >= n > my          — always future
+#   (q_lo, kv_lo): past iff src < my, diagonal iff src == my
+#   (q_hi, kv_hi): past iff src > my, diagonal iff src == my
+#
+# Step 0 (src == my) runs both diagonals + the always-past pair
+# (~2 full-pair equivalents); every later step runs the always-past
+# pair plus EXACTLY ONE of the two conditional pairs — selected with a
+# jnp.where on the operands so the compiled step does a constant two
+# chunk-pair flash calls on every device.
+
+def _zz_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+                 run_interpret):
+    from gemm_hls_tpu.ops.pallas_flash import flash_mha
+
+    n_ring = mesh.shape[axis]
+    perm = _ring_shifts(n_ring)
+
+    def local(qs_blk, k_blk, v_blk):
+        c = qs_blk.shape[1] // 2
+        my = jax.lax.axis_index(axis)
+        q_lo, q_hi = qs_blk[:, :c], qs_blk[:, c:]
+
+        def flash(qc, kc, vc, is_causal):
+            o_p, lse_p = flash_mha(qc, kc, vc, cfg=cfg, causal=is_causal,
+                                   block_q=block_q, block_kv=block_kv,
+                                   interpret=run_interpret, save_lse=True)
+            return o_p.astype(jnp.float32), lse_p
+
+        # Step 0: resident shard — two diagonals + the always-past pair.
+        o_lo, lse_lo = flash(q_lo, k_blk[:, :c], v_blk[:, :c], True)
+        o_hi, lse_hi = flash(q_hi, k_blk[:, :c], v_blk[:, :c], False)
+        o_p, lse_p = flash(q_hi, k_blk[:, c:], v_blk[:, c:], True)
+        o_hi, lse_hi = _lse_combine(o_hi, lse_hi, o_p, lse_p)
+
+        def body(t, carry):
+            o_lo, lse_lo, o_hi, lse_hi, k_cur, v_cur = carry
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            src = (my - t) % n_ring
+            k_lo, k_hi = k_cur[:, :c], k_cur[:, c:]
+            v_lo, v_hi = v_cur[:, :c], v_cur[:, c:]
+            o_p, lse_p = flash(q_hi, k_lo, v_lo, False)
+            o_hi, lse_hi = _lse_combine(o_hi, lse_hi, o_p, lse_p)
+            # The one live conditional pair (src != my for t >= 1).
+            use_lo = src < my
+            q_sel = jnp.where(use_lo, q_lo, q_hi)
+            k_sel = jnp.where(use_lo, k_lo, k_hi)
+            v_sel = jnp.where(use_lo, v_lo, v_hi)
+            o_p, lse_p = flash(q_sel, k_sel, v_sel, False)
+            o_lo2, lse_lo2 = _lse_combine(o_lo, lse_lo, o_p, lse_p)
+            o_hi2, lse_hi2 = _lse_combine(o_hi, lse_hi, o_p, lse_p)
+            o_lo = jnp.where(use_lo, o_lo2, o_lo)
+            lse_lo = jnp.where(use_lo, lse_lo2, lse_lo)
+            o_hi = jnp.where(use_lo, o_hi, o_hi2)
+            lse_hi = jnp.where(use_lo, lse_hi, lse_hi2)
+            return o_lo, lse_lo, o_hi, lse_hi, k_cur, v_cur
+
+        o_lo, lse_lo, o_hi, lse_hi, _, _ = jax.lax.fori_loop(
+            1, n_ring, body, (o_lo, lse_lo, o_hi, lse_hi, k_blk, v_blk))
+        o = jnp.concatenate([o_lo, o_hi], axis=1).astype(qs_blk.dtype)
+        lse = jnp.concatenate([lse_lo, lse_hi], axis=1)
+        return o, lse
+
+    spec = P(None, axis, None)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    return fn(qs, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _zz_core(qs, k, v, mesh, axis, cfg, block_q, block_kv, run_interpret):
+    o, _ = _zz_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+                        run_interpret)
+    return o
+
+
+def _zz_core_fwd(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+                 run_interpret):
+    o, lse = _zz_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
+                          run_interpret)
+    return o, (qs, k, v, o, lse)
+
+
+def _zz_core_bwd(mesh, axis, cfg, block_q, block_kv, run_interpret, res,
+                 do):
+    """Gradient ring in zigzag layout: each KV shard's accumulating
+    (dk, dv) rotates with it (same schedule as ``_ring_core_bwd``), and
+    each step mirrors the forward's uniform two-pair structure."""
+    from gemm_hls_tpu.ops.pallas_flash import (
+        flash_mha_bwd_dq, flash_mha_bwd_dkv,
+    )
+
+    qs, k, v, o, lse = res
+    n_ring = mesh.shape[axis]
+    perm = _ring_shifts(n_ring)
+
+    def local(qs_blk, k_blk, v_blk, do_blk, o_blk, lse_blk):
+        c = qs_blk.shape[1] // 2
+        my = jax.lax.axis_index(axis)
+        delta = jnp.sum(do_blk.astype(jnp.float32)
+                        * o_blk.astype(jnp.float32), axis=-1,
+                        keepdims=True)
+        do_c = do_blk.astype(qs_blk.dtype)
+        q_lo, q_hi = qs_blk[:, :c], qs_blk[:, c:]
+        do_lo, do_hi = do_c[:, :c], do_c[:, c:]
+        lse_lo, lse_hi = lse_blk[:, :c], lse_blk[:, c:]
+        dl_lo, dl_hi = delta[:, :c], delta[:, c:]
+
+        def grads_for(qc, kc, vc, doc, lsec, dc, is_causal):
+            dqc = flash_mha_bwd_dq(
+                qc, kc, vc, doc, lsec, dc, cfg=cfg, causal=is_causal,
+                block_q=block_q, block_kv=block_kv,
+                interpret=run_interpret).astype(jnp.float32)
+            dkc, dvc = flash_mha_bwd_dkv(
+                qc, kc, vc, doc, lsec, dc, cfg=cfg, causal=is_causal,
+                block_q=block_q, block_kv=block_kv,
+                interpret=run_interpret)
+            return dqc, dkc.astype(jnp.float32), dvc.astype(jnp.float32)
+
+        # Step 0: both diagonals + the always-past (q_hi, kv_lo) pair.
+        dq_lo, dk_c, dv_c = grads_for(
+            q_lo, k_blk[:, :c], v_blk[:, :c], do_lo, lse_lo, dl_lo, True)
+        dq_p, dk_p, dv_p = grads_for(
+            q_hi, k_blk[:, :c], v_blk[:, :c], do_hi, lse_hi, dl_hi, False)
+        dq_hi, dk_lo0, dv_lo0 = dq_p, dk_c + dk_p, dv_c + dv_p
+        dq_p, dk_hi0, dv_hi0 = grads_for(
+            q_hi, k_blk[:, c:], v_blk[:, c:], do_hi, lse_hi, dl_hi, True)
+        dq_hi = dq_hi + dq_p
+        dk = jnp.concatenate([dk_lo0, dk_hi0], axis=1)
+        dv = jnp.concatenate([dv_lo0, dv_hi0], axis=1)
+
+        def body(t, carry):
+            dq_lo, dq_hi, dk, dv, k_cur, v_cur = carry
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            dk = jax.lax.ppermute(dk, axis, perm)
+            dv = jax.lax.ppermute(dv, axis, perm)
+            src = (my - t) % n_ring
+            k_lo, k_hi = k_cur[:, :c], k_cur[:, c:]
+            v_lo, v_hi = v_cur[:, :c], v_cur[:, c:]
+            dqc, dkc, dvc = grads_for(q_hi, k_lo, v_lo, do_hi, lse_hi,
+                                      dl_hi, False)
+            dq_hi = dq_hi + dqc
+            zero = jnp.zeros_like(dkc)
+            dk = dk + jnp.concatenate([dkc, zero], axis=1)
+            dv = dv + jnp.concatenate([dvc, zero], axis=1)
+            # The one live conditional pair.
+            use_lo = src < my
+            q_sel = jnp.where(use_lo, q_lo, q_hi)
+            k_sel = jnp.where(use_lo, k_lo, k_hi)
+            v_sel = jnp.where(use_lo, v_lo, v_hi)
+            do_sel = jnp.where(use_lo, do_lo, do_hi)
+            lse_sel = jnp.where(use_lo, lse_lo, lse_hi)
+            dl_sel = jnp.where(use_lo, dl_lo, dl_hi)
+            dqc, dkc, dvc = grads_for(q_sel, k_sel, v_sel, do_sel,
+                                      lse_sel, dl_sel, False)
+            dq_lo = dq_lo + jnp.where(use_lo, dqc, 0.0)
+            dq_hi = dq_hi + jnp.where(use_lo, 0.0, dqc)
+            dk = dk + jnp.concatenate(
+                [jnp.where(use_lo, dkc, 0.0),
+                 jnp.where(use_lo, 0.0, dkc)], axis=1)
+            dv = dv + jnp.concatenate(
+                [jnp.where(use_lo, dvc, 0.0),
+                 jnp.where(use_lo, 0.0, dvc)], axis=1)
+            return dq_lo, dq_hi, dk, dv, k_cur, v_cur
+
+        dq_lo, dq_hi, dk, dv, _, _ = jax.lax.fori_loop(
+            1, n_ring, body, (dq_lo, dq_hi, dk, dv, k_blk, v_blk))
+        # One final gradient-only rotation sends each shard's completed
+        # (dk, dv) home.
+        dk = jax.lax.ppermute(dk, axis, perm)
+        dv = jax.lax.ppermute(dv, axis, perm)
+        dq = jnp.concatenate([dq_lo, dq_hi], axis=1)
+        return (dq.astype(qs_blk.dtype), dk.astype(k_blk.dtype),
+                dv.astype(v_blk.dtype))
+
+    spec = P(None, axis, None)
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(spec,) * 6,
+                       out_specs=(spec, spec, spec), check_vma=False)
+    return fn(qs, k, v, do, o, lse)
+
+
+_zz_core.defvjp(_zz_core_fwd, _zz_core_bwd)

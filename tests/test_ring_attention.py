@@ -179,3 +179,93 @@ def test_ring_causal_rejects_unequal_lengths():
     k = jnp.zeros((1, 128, 32))
     with pytest.raises(ValueError):
         ring_flash_attention(q, k, k, mesh, causal=True, interpret=True)
+
+
+def _causal_ref(q, k, v):
+    s = q.shape[1]
+    s64 = (np.asarray(q, np.float64) @ np.asarray(k, np.float64)
+           .transpose(0, 2, 1)) / np.sqrt(q.shape[-1])
+    s64 = np.where(np.tril(np.ones((s, s), bool)), s64, -np.inf)
+    e = np.exp(s64 - s64.max(-1, keepdims=True))
+    return (e / e.sum(-1, keepdims=True)) @ np.asarray(v, np.float64)
+
+
+@pytest.mark.parametrize("ring,b,s,d", [
+    (4, 1, 128, 32),
+    (2, 2, 64, 32),
+    (8, 1, 256, 32),   # chunk = 16 tokens
+    (1, 1, 64, 32),    # degenerate ring: zigzag == plain causal flash
+])
+def test_zigzag_matches_oracle(ring, b, s, d):
+    mesh = make_mesh((ring,), ("x",))
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    out = ring_flash_attention(q, k, v, mesh, causal=True, zigzag=True,
+                               block_q=16, block_kv=16, interpret=True)
+    assert out.shape == (b, s, d)
+    np.testing.assert_allclose(np.asarray(out), _causal_ref(q, k, v),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_zigzag_matches_plain_causal_ring():
+    mesh = make_mesh((4,), ("x",))
+    b, s, d = 2, 128, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    zz = ring_flash_attention(q, k, v, mesh, causal=True, zigzag=True,
+                              block_q=16, block_kv=16, interpret=True)
+    plain = ring_flash_attention(q, k, v, mesh, causal=True,
+                                 block_q=16, block_kv=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(zz), np.asarray(plain),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_zigzag_gradients():
+    mesh = make_mesh((4,), ("x",))
+    b, s, d = 1, 128, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+
+    def zz_loss(q, k, v):
+        return jnp.sum(ring_flash_attention(
+            q, k, v, mesh, causal=True, zigzag=True, block_q=16,
+            block_kv=16, interpret=True) ** 2)
+
+    def ref_loss(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k) / np.sqrt(d)
+        sc = jnp.where(jnp.tril(jnp.ones((s, s), bool)), sc, -jnp.inf)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v) ** 2)
+
+    g_zz = jax.grad(zz_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), g_zz, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_zigzag_indices_roundtrip():
+    from gemm_hls_tpu.parallel.ring_attention import zigzag_indices
+
+    order = np.asarray(zigzag_indices(32, 4))
+    assert sorted(order.tolist()) == list(range(32))
+    # Device 0 holds chunks 0 and 7 (of 8 chunks x 4 tokens).
+    np.testing.assert_array_equal(order[:8],
+                                  [0, 1, 2, 3, 28, 29, 30, 31])
+    x = np.arange(32)
+    inv = np.argsort(order)
+    np.testing.assert_array_equal(x[order][inv], x)
+
+
+def test_zigzag_rejects_bad_args():
+    mesh = make_mesh((4,), ("x",))
+    q = jnp.zeros((1, 128, 32))
+    with pytest.raises(ValueError):  # needs causal
+        ring_flash_attention(q, q, q, mesh, zigzag=True, interpret=True)
+    q2 = jnp.zeros((1, 132, 32))
+    with pytest.raises(ValueError):  # 2*ring must divide S
+        ring_flash_attention(q2, q2, q2, mesh, causal=True, zigzag=True,
+                             interpret=True)

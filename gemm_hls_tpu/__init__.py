@@ -21,6 +21,7 @@ from gemm_hls_tpu.ops.semiring import (
     available_semirings,
 )
 from gemm_hls_tpu.ops.matmul import matmul
+from gemm_hls_tpu.ops.grouped import grouped_matmul
 from gemm_hls_tpu.ops.attention import (attention, attention_scores,
                                          flash_attention)
 from gemm_hls_tpu.ops.quant import (dequantize_weights, matmul_quantized,
@@ -36,6 +37,7 @@ __all__ = [
     "register_semiring",
     "available_semirings",
     "matmul",
+    "grouped_matmul",
     "attention",
     "flash_attention",
     "matmul_quantized",

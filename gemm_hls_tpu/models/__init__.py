@@ -17,6 +17,13 @@ from gemm_hls_tpu.models.graph import (
     transitive_closure,
     widest_paths,
 )
+from gemm_hls_tpu.models.moe import (
+    MoEConfig,
+    init_moe_params,
+    moe_forward,
+    moe_forward_ep,
+    moe_train_step,
+)
 
 __all__ = [
     "ChipSpec",
@@ -32,4 +39,9 @@ __all__ = [
     "distance_product",
     "transitive_closure",
     "widest_paths",
+    "MoEConfig",
+    "init_moe_params",
+    "moe_forward",
+    "moe_forward_ep",
+    "moe_train_step",
 ]

@@ -5,6 +5,7 @@ from gemm_hls_tpu.ops.semiring import (
     available_semirings,
 )
 from gemm_hls_tpu.ops.matmul import matmul
+from gemm_hls_tpu.ops.grouped import grouped_matmul
 
 __all__ = [
     "Semiring",
@@ -12,4 +13,5 @@ __all__ = [
     "register_semiring",
     "available_semirings",
     "matmul",
+    "grouped_matmul",
 ]

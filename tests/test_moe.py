@@ -1,0 +1,112 @@
+"""MoE FFN on the grouped kernel: routing/dispatch correctness vs a dense
+per-token oracle, differentiability, expert-parallel shard_map equivalence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from gemm_hls_tpu.models.moe import (MoEConfig, init_moe_params, moe_forward,
+                                     moe_forward_ep, moe_train_step, route)
+
+CFG = MoEConfig(d_model=32, d_ff=48, num_experts=4, top_k=2,
+                gemm=None)
+
+
+def _cfg(**kw):
+    import dataclasses
+    from gemm_hls_tpu.config import GemmConfig
+    base = dataclasses.replace(
+        CFG, gemm=GemmConfig(block_m=16, block_n=16, block_k=16,
+                             interpret=True), **kw)
+    return base
+
+
+def dense_oracle(params, x, cfg):
+    """Per-token loop honoring the same top-k routing."""
+    ids, mix = jax.tree.map(np.asarray,
+                            route(x, params["router"], cfg.num_experts,
+                                  cfg.top_k))
+    w1 = np.asarray(params["w1"], np.float64)
+    w2 = np.asarray(params["w2"], np.float64)
+    xs = np.asarray(x, np.float64)
+    out = np.zeros_like(xs)
+    for t in range(x.shape[0]):
+        for j in range(cfg.top_k):
+            e = int(ids[t, j])
+            h = np.asarray(jax.nn.gelu(jnp.array(xs[t] @ w1[e])), np.float64)
+            out[t] += float(mix[t, j]) * (h @ w2[e])
+    return out
+
+
+def test_forward_vs_dense_oracle():
+    cfg = _cfg()
+    params = init_moe_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (96, cfg.d_model), jnp.float32)
+    got = np.asarray(moe_forward(params, x, cfg))
+    want = dense_oracle(params, x, cfg)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-4
+
+
+def test_top1_and_top4():
+    for k in (1, 4):
+        cfg = _cfg(top_k=k)
+        params = init_moe_params(jax.random.key(2), cfg)
+        x = jax.random.normal(jax.random.key(3), (64, cfg.d_model),
+                              jnp.float32)
+        got = np.asarray(moe_forward(params, x, cfg))
+        want = dense_oracle(params, x, cfg)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_train_step_reduces_loss_and_moves_router():
+    cfg = _cfg()
+    params = init_moe_params(jax.random.key(4), cfg)
+    key = jax.random.key(5)
+    x = jax.random.normal(key, (128, cfg.d_model), jnp.float32)
+    y = jnp.tanh(x @ jax.random.normal(jax.random.key(6),
+                                       (cfg.d_model, cfg.d_model)))
+    r0 = params["router"].copy()
+    losses = []
+    for _ in range(5):
+        params, loss = moe_train_step(params, (x, y), cfg, lr=0.05)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # Router receives gradient through the mix weights.
+    assert float(jnp.abs(params["router"] - r0).max()) > 0
+    assert all(np.isfinite(losses))
+
+
+def test_expert_parallel_matches_single_device():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _cfg()
+    params = init_moe_params(jax.random.key(7), cfg)
+    x = jax.random.normal(jax.random.key(8), (64, cfg.d_model), jnp.float32)
+    want = np.asarray(moe_forward(params, x, cfg))
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("dp", "ep"))
+    got = np.asarray(moe_forward_ep(params, x, cfg, mesh))
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-4
+
+
+def test_expert_parallel_grads_flow():
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = _cfg()
+    params = init_moe_params(jax.random.key(9), cfg)
+    x = jax.random.normal(jax.random.key(10), (32, cfg.d_model), jnp.float32)
+    mesh = Mesh(np.array(devs[:4]).reshape(1, 4), ("dp", "ep"))
+
+    def loss(p):
+        return jnp.sum(moe_forward_ep(p, x, cfg, mesh) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for k, g in grads.items():
+        assert bool(jnp.isfinite(jnp.asarray(g, jnp.float32)).all()), k
+    assert float(jnp.abs(grads["w1"]).max()) > 0

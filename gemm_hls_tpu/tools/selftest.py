@@ -276,6 +276,40 @@ def main(argv=None):
     check("quantized GEMM (int8 + int4 fused dequant)",
           quantized_matmul_check)
 
+    def grouped_matmul_check():
+        # Ragged MoE expert GEMM: one kernel over a dynamic row partition
+        # (boundary tiles merged by disjoint-row select, defined-zero
+        # tail), forward vs per-group host oracle + grads finite.
+        from gemm_hls_tpu.ops.grouped import grouped_matmul
+
+        rng = np.random.default_rng(17)
+        m, k, n, G = 512, 256, 256, 4
+        gs = [150, 0, 299, 50]  # empty group, unaligned boundaries, tail
+        lhs = jnp.asarray(rng.uniform(-1, 1, (m, k)), jnp.bfloat16)
+        rhs = jnp.asarray(rng.uniform(-1, 1, (G, k, n)), jnp.bfloat16)
+        cfg = GemmConfig(dtype="bfloat16", out_dtype="float32",
+                         block_m=128, block_n=128, block_k=128)
+        gsa = jnp.asarray(gs, jnp.int32)
+        got = np.asarray(grouped_matmul(lhs, rhs, gsa, cfg), np.float32)
+        ref = np.zeros_like(got)
+        s = 0
+        for g, sz in enumerate(gs):
+            ref[s:s + sz] = (np.asarray(lhs, np.float32)[s:s + sz]
+                             @ np.asarray(rhs, np.float32)[g])
+            s += sz
+        err = float(np.abs(got - ref).max() / np.abs(ref).max())
+        if not (err < 2e-2 and np.all(got[sum(gs):] == 0)):
+            return False, err
+        gl, gr = jax.grad(
+            lambda a, b: jnp.sum(grouped_matmul(a, b, gsa, cfg) ** 2),
+            argnums=(0, 1))(lhs, rhs)
+        ok = bool(jnp.isfinite(gl.astype(jnp.float32)).all()
+                  and jnp.isfinite(gr.astype(jnp.float32)).all()
+                  and (jnp.abs(gr[1].astype(jnp.float32)).max() == 0))
+        return ok and err < 2e-2, err
+    check("grouped MoE GEMM (ragged partition + grad)",
+          grouped_matmul_check)
+
     n_pass = sum(results)
     print(f"{n_pass}/{len(results)} checks passed")
     return 0 if n_pass == len(results) else 1

@@ -55,9 +55,15 @@ def _group_metadata(group_sizes, m, bm, num_groups, *, cover_all_groups=False):
 
     Returns int32 arrays of static length ``T = cdiv(m, bm) + num_groups``:
 
-      gids[t]:  group id owning logical tile t (clamped to G-1 for the
-                virtual tail group and for inactive padding steps).
+      gids[t]:  group id owning logical tile t.  Steps that do no MXU work
+                (padding slots, virtual-tail tiles) carry the id of the
+                *last computing* step instead, so their rhs block index
+                equals the block already resident in VMEM and Mosaic
+                issues no DMA for them (forward path only).
       mids[t]:  M-tile index that tile t reads/writes.
+      fmid[t]:  M-tile index for *fetching* lhs: equal to mids[t] on
+                computing steps, forward-filled from the last computing
+                step otherwise (so non-computing steps fetch nothing new).
       row_lo/row_hi[t]: global row span [lo, hi) of valid rows; empty for
                 padding steps and for the virtual group covering rows past
                 ``sum(group_sizes)`` (those rows are zero-filled).
@@ -110,10 +116,26 @@ def _group_metadata(group_sizes, m, bm, num_groups, *, cover_all_groups=False):
     if cover_all_groups:
         prev = jnp.concatenate([jnp.full((1,), -1, i32), gids[:-1]])
         first = ((gids != prev) & active).astype(i32)
+        # Keep gids intact (they index per-group *output* blocks — empty
+        # groups must still write their zero block) but forward-fill the
+        # fetch mid so empty-group and padding slots fetch nothing new.
+        computing = row_hi > row_lo
+        fmid = jnp.maximum(
+            jax.lax.cummax(jnp.where(computing, mids, -1)), 0)
     else:
         prev = jnp.concatenate([jnp.full((1,), -1, i32), mids[:-1]])
         first = ((mids != prev) & active).astype(i32)
-    return gids, mids, row_lo, row_hi, first
+        # Forward-fill gid/mid over non-computing steps (empty row span):
+        # those steps skip the dot, so pinning their lhs/rhs block indices
+        # to the last computing step's blocks makes their DMAs no-ops.
+        # gids are nondecreasing across the schedule, so cummax is the
+        # forward fill; all-empty routings fall back to block 0.
+        computing = row_hi > row_lo
+        gids = jnp.maximum(
+            jax.lax.cummax(jnp.where(computing, gids, -1)), 0)
+        fmid = jnp.maximum(
+            jax.lax.cummax(jnp.where(computing, mids, -1)), 0)
+    return gids, mids, fmid, row_lo, row_hi, first
 
 
 def _mask_k_tail(val, axis, limit):
@@ -126,8 +148,9 @@ def _row_mask(mid, bm, lo, hi, shape):
     return (rows >= lo) & (rows < hi)
 
 
-def _gmm_kernel(gids, mids, lo, hi, first, lhs_ref, rhs_ref, o_ref, acc_ref,
-                *, n_k_grid, bm, k_rem, rhs_contract, precision, out_dtype):
+def _gmm_kernel(gids, mids, fmid, lo, hi, first, lhs_ref, rhs_ref, o_ref,
+                acc_ref, *, n_k_grid, bm, k_rem, rhs_contract, precision,
+                out_dtype):
     """One (bm x bn) output tile restricted to one group's rows.
 
     Grid (n, t, k): k accumulates into fp32 scratch; at the last K step the
@@ -142,8 +165,13 @@ def _gmm_kernel(gids, mids, lo, hi, first, lhs_ref, rhs_ref, o_ref, acc_ref,
     # and the virtual tail group have an empty row span: skip the MXU work
     # entirely — at G groups the static schedule carries up to G such
     # slots, a full discarded dot each (measured 120 -> 188 TF at even
-    # 8-expert routing).  Their block DMAs are index-map clamped to the
-    # previous step's blocks, so Mosaic re-fetches nothing.
+    # 8-expert routing).  Their block *index maps* clamp the K coordinate
+    # to the final K step (see ``_clamped_k`` below), so consecutive
+    # padding steps map to the block already resident in VMEM and Mosaic
+    # issues no DMA at all — without the clamp every padding step fetched
+    # a fresh (bm, bk) lhs block, which at 4096^3/G=8 made the schedule's
+    # 50% padding slots cost full memory bandwidth (measured 101 TF = 53%
+    # of the dense bound; clamped they are sub-microsecond no-ops).
     @pl.when(hi[t] > lo[t])
     def _compute():
         @pl.when(k_id == 0)
@@ -163,7 +191,11 @@ def _gmm_kernel(gids, mids, lo, hi, first, lhs_ref, rhs_ref, o_ref, acc_ref,
             a, b, dimension_numbers=(((1,), (rhs_contract,)), ((), ())),
             preferred_element_type=acc_ref.dtype, precision=precision)
 
-    @pl.when(k_id == n_k_grid - 1)
+    # Store only on real visits: padding steps (first == 0 *and* empty
+    # span) would otherwise pay a (bm, bn) VMEM read-modify-write per
+    # step.  Virtual-tail first visits (first == 1, empty span) must still
+    # store — that write is the zero-fill of rows past sum(group_sizes).
+    @pl.when((k_id == n_k_grid - 1) & ((hi[t] > lo[t]) | (first[t] == 1)))
     def _store():
         keep = _row_mask(mids[t], bm, lo[t], hi[t], o_ref.shape)
         cur = o_ref[:]
@@ -205,18 +237,28 @@ def grouped_mxu(lhs, rhs, group_sizes, *, cfg: GemmConfig,
     meta = _group_metadata(group_sizes, m, bm, num_groups)
     t_cap = meta[0].shape[0]
     grid = (cdiv(n, bn), t_cap, cdiv(k_dim, bk))
+    n_k = grid[2]
 
     kernel = functools.partial(
-        _gmm_kernel, n_k_grid=grid[2], bm=bm, k_rem=k_dim % bk,
+        _gmm_kernel, n_k_grid=n_k, bm=bm, k_rem=k_dim % bk,
         rhs_contract=rhs_contract, precision=_resolve_precision(cfg),
         out_dtype=cfg.jout_dtype)
 
+    # Non-computing steps (empty row span) pin their K block index to the
+    # last K step: combined with the forward-filled gid/fmid this makes
+    # every padding/tail step's lhs and rhs blocks identical to the blocks
+    # already in VMEM, so Mosaic's pipeline fetches nothing for them.
+    def _clamped_k(t, kk, lo, hi):
+        return jnp.where(hi[t] > lo[t], kk, n_k - 1)
+
     if transpose_rhs:
         rhs_block = (1, bn, bk)
-        rhs_index = lambda j, t, kk, g, mi, *_: (g[t], j, kk)  # noqa: E731
+        rhs_index = lambda j, t, kk, g, mi, fm, lo, hi, fi: (  # noqa: E731
+            g[t], j, _clamped_k(t, kk, lo, hi))
     else:
         rhs_block = (1, bk, bn)
-        rhs_index = lambda j, t, kk, g, mi, *_: (g[t], kk, j)  # noqa: E731
+        rhs_index = lambda j, t, kk, g, mi, fm, lo, hi, fi: (  # noqa: E731
+            g[t], _clamped_k(t, kk, lo, hi), j)
 
     kwargs = {}
     if not interpret:
@@ -233,11 +275,12 @@ def grouped_mxu(lhs, rhs, group_sizes, *, cfg: GemmConfig,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk),
-                         lambda j, t, kk, g, mi, *_: (mi[t], kk)),
+                         lambda j, t, kk, g, mi, fm, lo, hi, fi: (
+                             fm[t], _clamped_k(t, kk, lo, hi))),
             pl.BlockSpec(rhs_block, rhs_index),
         ],
         out_specs=pl.BlockSpec((bm, bn),
@@ -254,30 +297,38 @@ def grouped_mxu(lhs, rhs, group_sizes, *, cfg: GemmConfig,
     )(*meta, lhs, rhs)
 
 
-def _tgmm_kernel(gids, mids, lo, hi, first, lhs_ref, g_ref, o_ref, acc_ref,
-                 *, t_grid, bm, precision, out_dtype):
+def _tgmm_kernel(gids, mids, fmid, lo, hi, first, lhs_ref, g_ref, o_ref,
+                 acc_ref, *, t_grid, bm, precision, out_dtype):
     """One (bk x bn) block of one group's grad: sum over the group's row
     tiles of ``lhs_rows.T @ g_rows``.
 
     Grid (kb, jb, t) with t innermost: consecutive logical tiles of the
     same group keep the output block resident; the group's first tile
-    overwrites, later tiles read-modify-write.  Rows are masked *before*
-    the dot — the contraction runs over rows here, so a stale lane would
-    pollute every output element (same reasoning as the K-tail mask in the
-    dense kernel, reference ``kernel/Compute.cpp:112-137``).
+    zero-initializes the accumulator, later tiles read-modify-write.
+    Rows are masked *before* the dot — the contraction runs over rows
+    here, so a stale lane would pollute every output element (same
+    reasoning as the K-tail mask in the dense kernel, reference
+    ``kernel/Compute.cpp:112-137``).  Empty-span steps (empty groups,
+    schedule padding) skip the dot entirely; their input blocks are
+    fmid-pinned to the last computing step's, so they cost no DMA either.
     """
     t = pl.program_id(2)
-    keep = _row_mask(mids[t], bm, lo[t], hi[t], (lhs_ref.shape[0], 1))
-    a = jnp.where(keep, lhs_ref[:], jnp.zeros((), lhs_ref.dtype))
-    g = jnp.where(keep, g_ref[:], jnp.zeros((), g_ref.dtype))
-    contrib = jax.lax.dot_general(
-        a, g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=acc_ref.dtype, precision=precision)
-    prev = jnp.where(first[t] == 1, jnp.zeros_like(acc_ref), acc_ref[:])
-    acc_ref[:] = prev + contrib
+
+    @pl.when(first[t] == 1)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(hi[t] > lo[t])
+    def _compute():
+        keep = _row_mask(mids[t], bm, lo[t], hi[t], (lhs_ref.shape[0], 1))
+        a = jnp.where(keep, lhs_ref[:], jnp.zeros((), lhs_ref.dtype))
+        g = jnp.where(keep, g_ref[:], jnp.zeros((), g_ref.dtype))
+        acc_ref[:] += jax.lax.dot_general(
+            a, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=acc_ref.dtype, precision=precision)
 
     # Last visit of this group = next tile belongs to another group (or the
-    # schedule ends).  Padding steps have first=0 and zero contribution.
+    # schedule ends).  Padding steps have first=0 and skip the compute.
     is_last = jnp.where(t == t_grid - 1, 1,
                         (gids[jnp.minimum(t + 1, t_grid - 1)] != gids[t])
                         .astype(jnp.int32))
@@ -333,13 +384,13 @@ def grouped_update_mxu(lhs, g, group_sizes, *, cfg: GemmConfig,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk),
-                         lambda kb, jb, t, gg, mi, *_: (mi[t], kb)),
+                         lambda kb, jb, t, gg, mi, fm, *_: (fm[t], kb)),
             pl.BlockSpec((bm, bn),
-                         lambda kb, jb, t, gg, mi, *_: (mi[t], jb)),
+                         lambda kb, jb, t, gg, mi, fm, *_: (fm[t], jb)),
         ],
         out_specs=pl.BlockSpec((1, bk, bn),
                                lambda kb, jb, t, gg, mi, *_: (gg[t], kb, jb)),

@@ -159,7 +159,7 @@ def test_metadata_covers_every_tile_once_per_group_span():
         bm = int(rng.choice([8, 16, 32]))
         m = int(rng.integers(1, 200))
         gs = rng.multinomial(rng.integers(0, m + 1), np.ones(G) / G)
-        gids, mids, lo, hi, first = jax.tree.map(
+        gids, mids, fmid, lo, hi, first = jax.tree.map(
             np.asarray,
             _group_metadata(jnp.array(gs, jnp.int32), m, bm, G))
         covered = np.zeros(m, bool)

@@ -20,8 +20,10 @@ from gemm_hls_tpu.models.graph import (
 from gemm_hls_tpu.models.moe import (
     MoEConfig,
     init_moe_params,
+    load_balance_loss,
     moe_forward,
     moe_forward_ep,
+    moe_forward_ep_a2a,
     moe_train_step,
 )
 
@@ -41,7 +43,9 @@ __all__ = [
     "widest_paths",
     "MoEConfig",
     "init_moe_params",
+    "load_balance_loss",
     "moe_forward",
     "moe_forward_ep",
+    "moe_forward_ep_a2a",
     "moe_train_step",
 ]

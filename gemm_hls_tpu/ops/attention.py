@@ -97,7 +97,8 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
                     kv_lengths=None,
                     q_segment_ids=None, kv_segment_ids=None,
                     config: Optional[GemmConfig] = None,
-                    block_q: int = 512, block_kv: int = 2048,
+                    block_q: Optional[int] = None,
+                    block_kv: Optional[int] = None,
                     interpret: Optional[bool] = None):
     """Per-head attention in ONE kernel: softmax(q·kᵀ·scale)·v with the
     probability matrix never leaving VMEM (online softmax over streamed
@@ -168,6 +169,18 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
     if q.ndim != 3:
         raise ValueError(f"flash_attention expects (B, S, D) or "
                          f"(batch, S, H, D), got {q.shape}")
+    if block_q is None or block_kv is None:
+        # Autotuned (block_q, block_kv) for this shape bucket, if a
+        # measured winner is cached (user cache or the packaged seed) —
+        # kills the documented fixed-default cliffs (e.g. S=1024 under
+        # block_kv=2048 defaults).  Miss -> the kernel's defaults.
+        from gemm_hls_tpu.tools.autotune import cached_family_entry
+
+        e = cached_family_entry(
+            "flash", (q.shape[0], q.shape[1], k.shape[1], q.shape[2]),
+            dtype=str(q.dtype), tag="causal" if causal else "full")
+        block_q = block_q or (e or {}).get("block_q", 512)
+        block_kv = block_kv or (e or {}).get("block_kv", 2048)
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)

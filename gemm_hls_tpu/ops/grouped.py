@@ -41,6 +41,19 @@ def _resolve_interpret(cfg: GemmConfig) -> bool:
 
 def _default_cfg(lhs, rhs) -> GemmConfig:
     dt = jnp.promote_types(lhs.dtype, rhs.dtype)
+    # Autotuned grouped-family winner for this (M, K, N, G) bucket, if
+    # one is cached (user cache or packaged seed); else GemmConfig
+    # defaults.
+    from gemm_hls_tpu.tools.autotune import cached_family_entry
+
+    e = cached_family_entry(
+        "grouped", (lhs.shape[0], lhs.shape[1], rhs.shape[-1],
+                    rhs.shape[0]), dtype=str(jnp.dtype(lhs.dtype)))
+    if e is not None:
+        return GemmConfig(dtype=str(jnp.dtype(lhs.dtype)),
+                          out_dtype=str(dt), block_m=e["block_m"],
+                          block_n=e["block_n"], block_k=e["block_k"],
+                          vmem_limit_bytes=110 * 1024 * 1024)
     return GemmConfig(dtype=str(jnp.dtype(lhs.dtype)), out_dtype=str(dt))
 
 

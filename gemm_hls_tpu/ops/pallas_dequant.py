@@ -222,7 +222,7 @@ def dequant_matmul(x, w_q, scales, *, cfg: GemmConfig, bits: int = 8,
 
 
 def _w8a8_kernel(x_ref, wq_ref, sw_ref, sx_ref, o_ref, acc_ref, *,
-                 n_k_grid, out_dtype):
+                 n_k_grid, out_dtype, int_acc):
     k_step = pl.program_id(2) if n_k_grid > 1 else 0
 
     if n_k_grid > 1:
@@ -232,10 +232,19 @@ def _w8a8_kernel(x_ref, wq_ref, sw_ref, sx_ref, o_ref, acc_ref, *,
 
     contrib = jax.lax.dot_general(
         x_ref[:], wq_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32).astype(jnp.float32)
-    contrib = contrib * sw_ref[0]
+        preferred_element_type=jnp.int32)
+    if not int_acc:
+        # Group-wise scales change per K-block: convert + scale each
+        # block's contribution (shares VPU issue slots with the MXU).
+        contrib = contrib.astype(jnp.float32) * sw_ref[0]
 
     def emit(acc):
+        if int_acc:
+            # Per-channel scales are K-invariant, so the int32 sum over
+            # all K-blocks is exact (127^2 * K < 2^31) and the f32
+            # convert + both scales run ONCE at the store instead of
+            # per K-block — the fused_int8 trick (ops/pallas_ozaki.py).
+            acc = acc.astype(jnp.float32) * sw_ref[0]
         o_ref[:] = (acc * sx_ref[:]).astype(out_dtype)
 
     if n_k_grid == 1:
@@ -294,8 +303,10 @@ def w8a8_matmul(x, w_q, scales, *, cfg: GemmConfig, group_size=None,
 
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), k_dim // bk)
     two_d = grid[2] == 1
+    # Exact int32 accumulation across all of K needs 127^2 * K < 2^31.
+    int_acc = n_groups == 1 and 16129 * k_dim < 2**31
     kernel = functools.partial(_w8a8_kernel, n_k_grid=grid[2],
-                               out_dtype=cfg.jout_dtype)
+                               out_dtype=cfg.jout_dtype, int_acc=int_acc)
 
     if two_d:
         x_index = lambda i, j: (i, 0)                   # noqa: E731
@@ -339,7 +350,8 @@ def w8a8_matmul(x, w_q, scales, *, cfg: GemmConfig, group_size=None,
         ],
         out_specs=pl.BlockSpec((bm, bn), o_index, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), cfg.jout_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(
+            (bm, bn), jnp.int32 if int_acc else jnp.float32)],
         interpret=interpret,
         name=f"ca_gemm_w8a8_{bm}x{bn}x{bk}",
         **kwargs,

@@ -49,22 +49,31 @@ _MASK = -0.7 * jnp.finfo(jnp.float32).max
 def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
                   block_q, block_kv, causal, precision, out_dtype,
                   window=None, logit_cap=None, has_kvlen=False,
-                  has_segids=False, kv_group=1, s_q_total=None,
-                  save_lse=False):
+                  has_segids=False, has_offsets=False, kv_group=1,
+                  s_q_total=None, save_lse=False):
     """One (q-tile, kv-tile) step of online-softmax attention.
 
-    ``refs`` = ([len_ref,] o_ref[, lse_ref], acc_ref, m_ref, l_ref);
-    with ``has_kvlen`` a per-example logical KV length arrives as an
-    SMEM scalar (padded-cache decode: positions >= length are masked
-    exactly like the physical overhang).  With ``save_lse`` the per-row
-    log-sum-exp ``m + log(l)`` is emitted as a second output — the
-    residual the backward kernels need to recompute probabilities
-    without re-running the softmax reduction.
+    ``refs`` = ([len_ref,] [offs_ref,] o_ref[, lse_ref], acc_ref,
+    m_ref, l_ref); with ``has_kvlen`` a per-example logical KV length
+    arrives as an SMEM scalar (padded-cache decode: positions >= length
+    are masked exactly like the physical overhang).  With
+    ``has_offsets`` a (2,) int32 SMEM pair (q_offset, kv_offset) shifts
+    the ABSOLUTE positions the causal/window masks compare — how ring
+    attention tells the kernel where this KV shard sits in the global
+    sequence.  With ``save_lse`` the per-row log-sum-exp ``m + log(l)``
+    is emitted as a second output — the residual the backward kernels
+    need to recompute probabilities without re-running the softmax
+    reduction.
     """
     if has_kvlen:
         len_ref, *refs = refs
     else:
         len_ref = None
+    if has_offsets:
+        offs_ref, *refs = refs
+        q_off, kv_off = offs_ref[0], offs_ref[1]
+    else:
+        q_off = kv_off = 0
     if has_segids:
         qseg_ref, kvseg_ref, *refs = refs
     if save_lse:
@@ -85,9 +94,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
     # KV length skips blocks past the logical cache end.
     live = True
     if causal:
-        live = j * block_kv < (i + 1) * block_q
+        live = kv_off + j * block_kv < q_off + (i + 1) * block_q
         if window is not None:
-            live = live & ((j + 1) * block_kv > i * block_q - window + 1)
+            live = live & (kv_off + (j + 1) * block_kv
+                           > q_off + i * block_q - window + 1)
     if has_kvlen:
         kv_len = len_ref[pl.program_id(0) // kv_group, 0]
         # Causal decode anchoring: the s_q query positions are the LAST
@@ -149,8 +159,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
             v = jnp.where(ridx < limit, v, jnp.zeros((), v.dtype))
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            q_pos = causal_off + i * block_q + row
-            kv_pos = j * block_kv + col
+            q_pos = causal_off + q_off + i * block_q + row
+            kv_pos = kv_off + j * block_kv + col
             keep = kv_pos <= q_pos
             if window is not None:
                 keep = keep & (kv_pos > q_pos - window)
@@ -169,7 +179,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
             # absent from this kv block) without the block being
             # skipped; m stays at _MASK there and exp(_MASK - _MASK)=1
             # would corrupt l/acc — zero those p entries explicitly.
-            if has_segids:
+            # Offsets can do the same: a window'd (or position-shifted)
+            # ring shard may be live for only part of the q tile's rows.
+            if has_segids or has_offsets:
                 return jnp.where(valid, p, 0.0)
             return p
 
@@ -180,7 +192,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
                 p.astype(v.dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=precision)
-            o_ref[0] = (pv / l).astype(out_dtype)
+            # A fully-masked row (possible under segment ids, or a
+            # window'd ring shard) has l = 0: emit o = 0, lse = -inf
+            # (the "no contribution" partial) instead of 0/0 = nan.
+            o_ref[0] = (pv / jnp.where(l == 0, 1.0, l)).astype(out_dtype)
             if save_lse:
                 lse_ref[0] = m_cur + jnp.log(l)
             return
@@ -210,7 +225,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
         @pl.when(j == n_kv_grid - 1)
         def _store():
             l_fin = l_ref[:][:, :1]
-            o_ref[0] = (acc_ref[:] / l_fin).astype(out_dtype)
+            o_ref[0] = (acc_ref[:]
+                        / jnp.where(l_fin == 0, 1.0, l_fin)).astype(out_dtype)
             if save_lse:
                 lse_ref[0] = m_ref[:][:, :1] + jnp.log(l_fin)
 
@@ -219,8 +235,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
     "cfg", "causal", "block_q", "block_kv", "interpret", "window",
     "logit_cap", "save_lse"))
 def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
-              kv_segment_ids=None, *, cfg: GemmConfig, causal=False,
-              block_q=512, block_kv=2048, interpret=False,
+              kv_segment_ids=None, offsets=None, *, cfg: GemmConfig,
+              causal=False, block_q=512, block_kv=2048, interpret=False,
               window=None, logit_cap=None, save_lse=False):
     """Fused attention o = softmax(q·kᵀ)·v per head, streaming KV.
 
@@ -229,6 +245,12 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
       k, v: (B, S_kv, D).
       causal: apply the autoregressive mask (position-aligned at 0; fully
         future kv blocks are skipped, halving work for S_q = S_kv).
+      offsets: optional (2,) int32 (q_offset, kv_offset) — absolute
+        positions of this call's first q / kv row in the GLOBAL
+        sequence, shifting the causal/window masks.  How ring attention
+        localizes masking per KV shard; requires ``causal=True`` and is
+        incompatible with ``kv_lengths`` (which carries its own decode
+        anchoring).  Traced (no recompilation across values).
       block_q / block_kv: VMEM tile sizes along the two sequence axes.
 
     Returns (B, S_q, D) in ``cfg.out_dtype``.
@@ -267,6 +289,15 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
             raise ValueError(f"kv_lengths must be ({k.shape[0]},), got "
                              f"{kv_lengths.shape}")
         kv_lengths = kv_lengths.astype(jnp.int32).reshape(-1, 1)
+    has_offsets = offsets is not None
+    if has_offsets:
+        if not causal:
+            raise ValueError("offsets only shift the causal/window "
+                             "masks; they require causal=True")
+        if has_kvlen:
+            raise ValueError("offsets are incompatible with kv_lengths "
+                             "(which carries its own decode anchoring)")
+        offsets = jnp.asarray(offsets, jnp.int32).reshape(2)
     has_segids = q_segment_ids is not None
     if has_segids != (kv_segment_ids is not None):
         raise ValueError("q_segment_ids and kv_segment_ids must be "
@@ -295,6 +326,7 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
         logit_cap=logit_cap,
         has_kvlen=has_kvlen,
         has_segids=has_segids,
+        has_offsets=has_offsets,
         kv_group=group,
         s_q_total=s_q,
         save_lse=save_lse,
@@ -341,6 +373,9 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
         # own row (Mosaic rejects sub-(8,128) blocked SMEM specs).
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(kv_lengths)
+    if has_offsets:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(offsets)
     if has_segids:
         in_specs.append(pl.BlockSpec(
             (1, block_q, 1), lambda b, i, j: (b, i, 0),
@@ -390,7 +425,8 @@ def _zero_rows(x, limit):
 
 def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
                     block_q, block_kv, causal, precision, window=None,
-                    logit_cap=None, qseg=None, kvseg=None):
+                    logit_cap=None, qseg=None, kvseg=None, q_off=0,
+                    kv_off=0):
     """Shared block recompute: returns (p, ds, k, v) with p/ds f32
     (block_q, block_kv) and k/v row-zeroed at the kv overhang.
 
@@ -419,8 +455,8 @@ def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
         v = _zero_rows(v, limit)
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        q_pos = i * block_q + row
-        kv_pos = j * block_kv + col
+        q_pos = q_off + i * block_q + row
+        kv_pos = kv_off + j * block_kv + col
         keep = kv_pos <= q_pos
         if window is not None:
             keep = keep & (kv_pos > q_pos - window)
@@ -444,7 +480,13 @@ def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
 def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                          *refs, n_kv_grid, kv_rem, block_q,
                          block_kv, causal, precision, out_dtype,
-                         window=None, logit_cap=None, has_segids=False):
+                         window=None, logit_cap=None, has_segids=False,
+                         has_offsets=False):
+    if has_offsets:
+        offs_ref, *refs = refs
+        q_off, kv_off = offs_ref[0], offs_ref[1]
+    else:
+        q_off = kv_off = 0
     if has_segids:
         qseg_ref, kvseg_ref, dq_ref, acc_ref = refs
     else:
@@ -465,7 +507,8 @@ def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             causal=causal, precision=precision, window=window,
             logit_cap=logit_cap,
             qseg=qseg_ref[0] if has_segids else None,
-            kvseg=kvseg_ref[0] if has_segids else None)
+            kvseg=kvseg_ref[0] if has_segids else None,
+            q_off=q_off, kv_off=kv_off)
         contrib = jax.lax.dot_general(
             ds.astype(kz.dtype), kz,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -476,9 +519,10 @@ def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             acc_ref[:] += contrib
 
     if causal and n_kv_grid > 1:
-        live = j * block_kv < (i + 1) * block_q
+        live = kv_off + j * block_kv < q_off + (i + 1) * block_q
         if window is not None:
-            live = live & ((j + 1) * block_kv > i * block_q - window + 1)
+            live = live & (kv_off + (j + 1) * block_kv
+                           > q_off + i * block_q - window + 1)
 
         @pl.when(live)
         def _():
@@ -496,9 +540,15 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           *refs, n_q_grid,
                           n_kv_grid, q_rem, kv_rem, block_q, block_kv,
                           causal, precision, out_dtype, window=None,
-                          logit_cap=None, has_segids=False):
+                          logit_cap=None, has_segids=False,
+                          has_offsets=False):
     """Grid (batch, kv-tiles, q-tiles): q streamed innermost, the
     (block_kv, d) dk/dv accumulators stationary."""
+    if has_offsets:
+        offs_ref, *refs = refs
+        q_off, kv_off = offs_ref[0], offs_ref[1]
+    else:
+        q_off = kv_off = 0
     if has_segids:
         qseg_ref, kvseg_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
     else:
@@ -522,7 +572,8 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             causal=causal, precision=precision, window=window,
             logit_cap=logit_cap,
             qseg=qseg_ref[0] if has_segids else None,
-            kvseg=kvseg_ref[0] if has_segids else None)
+            kvseg=kvseg_ref[0] if has_segids else None,
+            q_off=q_off, kv_off=kv_off)
         if q_rem:
             # The q overhang is NOT row-local here: garbage q rows feed
             # the over-q contractions below.  Zero p/ds rows AND the
@@ -552,9 +603,10 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             dv_acc[:] += dv_c
 
     if causal and n_q_grid > 1:
-        live = (i + 1) * block_q > j * block_kv
+        live = q_off + (i + 1) * block_q > kv_off + j * block_kv
         if window is not None:
-            live = live & (i * block_q - window + 1 < (j + 1) * block_kv)
+            live = live & (q_off + i * block_q - window + 1
+                           < kv_off + (j + 1) * block_kv)
 
         @pl.when(live)
         def _():
@@ -582,14 +634,16 @@ def _bwd_common(q, k, v, cfg, block_q, block_kv):
     "cfg", "causal", "block_q", "block_kv", "interpret", "window",
     "logit_cap"))
 def flash_mha_bwd_dq(qs, k, v, do, lse, delta, q_segment_ids=None,
-                     kv_segment_ids=None, *, cfg: GemmConfig,
+                     kv_segment_ids=None, offsets=None, *,
+                     cfg: GemmConfig,
                      causal=False, block_q=512, block_kv=2048,
                      interpret=False, window=None, logit_cap=None):
     """dL/d(q·scale): grid (batch, q-tiles, kv-tiles), kv streamed.
 
     ``q_segment_ids``/``kv_segment_ids`` arrive pre-shaped (B, S_q, 1) /
     (B_kv, 1, S_kv) int32 (the layouts the kernel compares without a
-    transpose)."""
+    transpose).  ``offsets`` is the forward's (2,) int32
+    (q_offset, kv_offset) absolute-position pair."""
     bsz, s_q, s_kv, d, block_q, block_kv, group = _bwd_common(
         qs, k, v, cfg, block_q, block_kv)
     n_q = pl.cdiv(s_q, block_q)
@@ -601,7 +655,8 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, q_segment_ids=None,
         block_q=block_q, block_kv=block_kv, causal=causal,
         precision=_resolve_precision(cfg), out_dtype=qs.dtype,
         window=window, logit_cap=logit_cap,
-        has_segids=q_segment_ids is not None)
+        has_segids=q_segment_ids is not None,
+        has_offsets=offsets is not None)
 
     kwargs = {}
     if not interpret:
@@ -625,6 +680,9 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, q_segment_ids=None,
         pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
     ]
     operands = [qs, k, v, do, lse, delta]
+    if offsets is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(offsets, jnp.int32).reshape(2))
     if q_segment_ids is not None:
         in_specs.append(pl.BlockSpec((1, block_q, 1), qi,
                                      memory_space=pltpu.VMEM))
@@ -650,7 +708,8 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, q_segment_ids=None,
     "cfg", "causal", "block_q", "block_kv", "interpret", "window",
     "logit_cap"))
 def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, q_segment_ids=None,
-                      kv_segment_ids=None, *, cfg: GemmConfig,
+                      kv_segment_ids=None, offsets=None, *,
+                      cfg: GemmConfig,
                       causal=False, block_q=512, block_kv=2048,
                       interpret=False, window=None, logit_cap=None):
     """(dL/dk, dL/dv): grid (batch, kv-tiles, q-tiles), q streamed."""
@@ -666,7 +725,8 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, q_segment_ids=None,
         block_q=block_q, block_kv=block_kv, causal=causal,
         precision=_resolve_precision(cfg), out_dtype=k.dtype,
         window=window, logit_cap=logit_cap,
-        has_segids=q_segment_ids is not None)
+        has_segids=q_segment_ids is not None,
+        has_offsets=offsets is not None)
 
     kwargs = {}
     if not interpret:
@@ -697,6 +757,9 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, q_segment_ids=None,
         pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
     ]
     operands = [qs, k, v, do, lse, delta]
+    if offsets is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(offsets, jnp.int32).reshape(2))
     if q_segment_ids is not None:
         in_specs.append(pl.BlockSpec((1, block_q, 1), qi,
                                      memory_space=pltpu.VMEM))

@@ -115,9 +115,31 @@ def matmul_quantized(x, w_q, scales, *, bits: int = 8,
     from gemm_hls_tpu.ops.matmul import _resolve_interpret
     from gemm_hls_tpu.ops.pallas_dequant import dequant_matmul
 
-    k = x.shape[1]
+    m, k = x.shape
+    n = w_q.shape[1]
     g = group_size or k
-    cfg = config or default_config(str(x.dtype))
+    cfg = config
+    if cfg is None:
+        # Autotuned family winner for this shape bucket, if cached.
+        from gemm_hls_tpu.tools.autotune import cached_family_entry
+        e = cached_family_entry(f"dequant{bits}", (m, n, k),
+                                dtype=str(x.dtype),
+                                tag=f"g{group_size}" if group_size
+                                else "chan")
+        if e is not None:
+            cfg = default_config(str(x.dtype)).replace(
+                block_m=e["block_m"], block_n=e["block_n"],
+                block_k=e["block_k"],
+                vmem_limit_bytes=110 * 1024 * 1024)
+    if cfg is None:
+        cfg = default_config(str(x.dtype))
+        if m <= 128:
+            # Small-batch inference is weight-DMA/VPU-unpack bound, not
+            # MXU bound: 2k x 2k weight blocks quarter the grid-step
+            # count (measured +24% at M=32, N=K=8192 int4 —
+            # experiments/int4_unpack_probe2.py).
+            cfg = cfg.replace(block_n=min(2048, n), block_k=min(2048, k),
+                              vmem_limit_bytes=110 * 1024 * 1024)
     bk = min(cfg.block_k, k)
     if g != k:
         # Whole scale groups per K-block (the kernel folds multiple
@@ -144,13 +166,39 @@ def matmul_w8a8(x, w_q, scales, *, group_size: Optional[int] = None,
     """
     import jax.numpy as jnp
 
-    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.config import LANE, default_config, round_up, sublane
     from gemm_hls_tpu.ops.matmul import _resolve_interpret
     from gemm_hls_tpu.ops.pallas_dequant import w8a8_matmul
 
-    k = x.shape[1]
+    m, k = x.shape
+    n = w_q.shape[1]
     g = group_size or k
-    cfg = config or default_config("int8")
+    cfg = config
+    if cfg is None:
+        # Autotuned W8A8 family winner for this shape bucket, if cached;
+        # then the dense int8 bucket (same engine, same block optimum).
+        from gemm_hls_tpu.tools.autotune import (cached_config,
+                                                 cached_family_entry)
+        e = cached_family_entry("w8a8", (m, n, k), dtype=str(x.dtype),
+                                tag=f"g{group_size}" if group_size
+                                else "chan")
+        if e is not None:
+            cfg = default_config("int8").replace(
+                block_m=e["block_m"], block_n=e["block_n"],
+                block_k=e["block_k"],
+                vmem_limit_bytes=110 * 1024 * 1024)
+        else:
+            cfg = cached_config(m, n, k, dtype="int8")
+    if cfg is None:
+        # The int8-engine winner geometry (data/autotune_seed.json),
+        # clamped to the problem — the dot runs on the same engine as
+        # the plain int8 kernel, so its block optimum carries over.
+        cfg = default_config("int8").replace(
+            block_m=min(512, round_up(m, sublane("int8"))),
+            block_n=min(1024, round_up(n, LANE)),
+            block_k=min(4096, round_up(k, LANE)),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        )
     bk = min(cfg.block_k, k)
     if g != k:
         bk = g

@@ -19,6 +19,14 @@ which is exact regardless of arrival order, so the ring needs no global
 max pre-pass.  XLA overlaps each step's ppermute with the next flash
 call where the schedule allows (async collective permute).
 
+The ring carries the single-chip kernel's FULL mask/serving surface:
+grouped-query attention (KV shards with fewer heads rotate as-is),
+sliding windows (each step tells the kernel where its KV shard sits in
+the global sequence via the kernel's ``offsets`` pair, so the window
+mask is evaluated against absolute positions), packed-sequence segment
+ids (the KV half of the id pair travels with its shard), logit
+soft-caps, and per-example KV lengths for padded non-causal batches.
+
 Differentiable: the custom VJP runs a second ring in which each KV
 shard's accumulating (dk, dv) travels WITH it — after ``ring_size``
 rotations every shard has collected contributions from every device's
@@ -36,6 +44,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gemm_hls_tpu.config import GemmConfig, default_config
@@ -44,16 +53,34 @@ from gemm_hls_tpu.config import GemmConfig, default_config
 def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
                          causal: bool = False, zigzag: bool = False,
                          scale: Optional[float] = None,
+                         window: Optional[int] = None,
+                         logit_cap: Optional[float] = None,
+                         q_segment_ids=None, kv_segment_ids=None,
+                         kv_lengths=None,
                          block_q: int = 512, block_kv: int = 2048,
                          config: Optional[GemmConfig] = None,
                          interpret: Optional[bool] = None):
     """softmax(q·kᵀ·scale)·v with the sequence axis sharded over ``axis``.
 
     Args:
-      q, k, v: (B, S, D) global arrays (any sharding; re-placed to
-        P(None, axis, None) — batch/heads replicated, sequence sharded).
+      q: (B, S_q, D) global array (B = flattened batch·heads).
+      k, v: (B_kv, S_kv, D) — B_kv may divide B (grouped-query
+        attention: each group of B/B_kv q heads reads the same KV head;
+        the smaller KV shards rotate the ring as-is).
       mesh: the device mesh; ``axis`` names the ring dimension.
       scale: score scale, default 1/sqrt(D).
+      window: sliding-window size (causal only): query at position p
+        attends to positions (p-window, p].  Masked against ABSOLUTE
+        positions on every ring step via the flash kernel's ``offsets``.
+      logit_cap: Gemma-style tanh soft-cap on the scores.
+      q_segment_ids / kv_segment_ids: (B, S_q) / (B_kv, S_kv) int packed
+        -sequence ids; only same-id pairs attend.  The KV ids rotate
+        with their shard.
+      kv_lengths: (B_kv,) int32 logical KV lengths for padded non-causal
+        batches; positions >= length are masked on whichever shard they
+        fall.  Forward-only (inference path) and non-causal only — the
+        single-chip kernel's causal decode anchoring
+        (``ops/pallas_flash.py``) is a one-chip serving feature.
       zigzag: causal-only load balancing — device ``d`` of ``n`` holds
         sequence chunks ``(d, 2n-1-d)`` of ``2n``, so every ring step
         runs exactly two full chunk-pair flash calls per device instead
@@ -61,22 +88,26 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
         steps.  Inputs/outputs stay in natural sequence order — the
         zigzag permutation is applied (and inverted) internally; callers
         that keep activations in zigzag layout across layers can use
-        :func:`zigzag_indices` and skip the gathers.
+        :func:`zigzag_indices` and skip the gathers.  Supports GQA and
+        ``logit_cap``; use the plain ring for windows/segment ids.
 
-    Returns (B, S, D) in q's dtype, sequence-sharded like the inputs.
+    Returns (B, S_q, D) in q's dtype, sequence-sharded like the inputs.
 
     S must divide the ring size.  Every device sees every KV shard
     after ``ring_size`` rotations; with ``causal=True`` each step takes
     one of three forms by shard position — fully-past shard: full flash,
     diagonal shard: causal flash, fully-future shard: skipped (a
-    -inf-lse partial, a no-op in the combine).  Differentiable — the
-    custom VJP runs the gradient ring (see module docstring).
+    -inf-lse partial, a no-op in the combine).  With ``window`` the
+    fully-past steps run the window mask against absolute positions and
+    shards wholly older than every query's window start are skipped
+    too.  Differentiable — the custom VJP runs the gradient ring (see
+    module docstring).
     """
     from jax.sharding import NamedSharding
 
     from gemm_hls_tpu.ops.matmul import _resolve_interpret
 
-    if q.ndim != 3 or k.shape != v.shape or k.shape[0] != q.shape[0] or \
+    if q.ndim != 3 or k.shape != v.shape or q.shape[0] % k.shape[0] or \
             k.shape[2] != q.shape[2]:
         raise ValueError(
             f"ring_flash_attention shapes: {q.shape} x {k.shape} x {v.shape}")
@@ -88,6 +119,28 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
     if causal and s_q != s_kv:
         raise ValueError(
             f"causal ring attention needs S_q == S_kv, got {s_q} vs {s_kv}")
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True (sliding-window "
+                         "attention is an autoregressive mask)")
+    if (q_segment_ids is None) != (kv_segment_ids is None):
+        raise ValueError("q_segment_ids and kv_segment_ids must be "
+                         "passed together")
+    if q_segment_ids is not None:
+        if q_segment_ids.shape != (q.shape[0], s_q) or \
+                kv_segment_ids.shape != (k.shape[0], s_kv):
+            raise ValueError(
+                f"segment ids must be ({q.shape[0]},{s_q}) / "
+                f"({k.shape[0]},{s_kv}), got {q_segment_ids.shape} / "
+                f"{kv_segment_ids.shape}")
+    if kv_lengths is not None:
+        if causal:
+            raise ValueError(
+                "kv_lengths over the ring is a padded-batch (non-causal) "
+                "feature; causal decode anchoring is single-chip "
+                "(ops/pallas_flash.py)")
+        if kv_lengths.shape != (k.shape[0],):
+            raise ValueError(f"kv_lengths must be ({k.shape[0]},), got "
+                             f"{kv_lengths.shape}")
     if zigzag:
         if not causal:
             raise ValueError("zigzag=True is a causal load-balancing "
@@ -95,6 +148,10 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
         if s_q % (2 * n_ring):
             raise ValueError(f"zigzag needs 2*ring_size ({2 * n_ring}) "
                              f"to divide the sequence length ({s_q})")
+        if window is not None or q_segment_ids is not None:
+            raise ValueError("zigzag supports GQA/logit_cap; windows and "
+                             "segment ids run on the plain ring "
+                             "(zigzag=False)")
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
 
@@ -105,6 +162,7 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
     run_interpret = _resolve_interpret(cfg)
 
     spec = P(None, axis, None)
+    seg_spec = P(None, axis)
     qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
     if zigzag:
         # Permute token order OUTSIDE the custom-VJP core: plain jnp
@@ -116,12 +174,27 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
     qs = jax.device_put(qs, NamedSharding(mesh, spec))
     k = jax.device_put(k, NamedSharding(mesh, spec))
     v = jax.device_put(v, NamedSharding(mesh, spec))
+    if q_segment_ids is not None:
+        q_segment_ids = jax.device_put(
+            q_segment_ids.astype(jnp.int32), NamedSharding(mesh, seg_spec))
+        kv_segment_ids = jax.device_put(
+            kv_segment_ids.astype(jnp.int32), NamedSharding(mesh, seg_spec))
     if zigzag:
         out = _zz_core(qs, k, v, mesh, axis, cfg, block_q, block_kv,
-                       run_interpret)
+                       run_interpret, logit_cap)
         return out[:, inv, :]
-    return _ring_core(qs, k, v, mesh, axis, cfg, causal, block_q,
-                      block_kv, run_interpret)
+    if kv_lengths is not None:
+        # Inference-only path: not under the custom VJP (the backward
+        # kernels carry no kv_lengths surface).
+        kv_lengths = jax.device_put(kv_lengths.astype(jnp.int32),
+                                    NamedSharding(mesh, P(None)))
+        o, _ = _ring_fwd_impl(qs, k, v, None, None, kv_lengths, mesh,
+                              axis, cfg, False, None, logit_cap, block_q,
+                              block_kv, run_interpret)
+        return o.astype(q.dtype)
+    return _ring_core(qs, k, v, q_segment_ids, kv_segment_ids, mesh, axis,
+                      cfg, causal, window, logit_cap, block_q, block_kv,
+                      run_interpret)
 
 
 def zigzag_indices(s: int, n_ring: int):
@@ -152,86 +225,155 @@ def _lse_combine(o, lse, o_p, lse_p):
 
     exp(-inf - -inf) = nan when a row is still empty AND the incoming
     partial is a skipped step; the where() on the finite lse guards it.
-    """
+    A window'd partial shard can also emit per-row (o=nan-free 0,
+    lse=-inf) rows — the same guard zeroes their weight."""
     lse_new = jnp.logaddexp(lse, lse_p)
     w_old = jnp.where(jnp.isfinite(lse), jnp.exp(lse - lse_new), 0.0)
     w_new = jnp.where(jnp.isfinite(lse_p), jnp.exp(lse_p - lse_new), 0.0)
-    return o * w_old + o_p * w_new, lse_new
+    return (jnp.where(jnp.isfinite(lse), o * w_old, 0.0)
+            + jnp.where(jnp.isfinite(lse_p), o_p * w_new, 0.0), lse_new)
 
 
-def _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
+def _seg3(q_seg, kv_seg):
+    """Raw (B, S) int segment ids -> the flash kernels' layouts."""
+    if q_seg is None:
+        return None, None
+    return (q_seg.astype(jnp.int32)[..., None],
+            kv_seg.astype(jnp.int32)[:, None, :])
+
+
+def _group_reduce(dk, dv, kv_heads):
+    """GQA: fold the dkv kernel's per-q-head tiles onto the kv heads."""
+    group = dk.shape[0] // kv_heads
+    if group == 1:
+        return dk, dv
+    dk = dk.reshape(kv_heads, group, *dk.shape[1:]).sum(axis=1)
+    dv = dv.reshape(kv_heads, group, *dv.shape[1:]).sum(axis=1)
+    return dk, dv
+
+
+def _ring_fwd_impl(qs, k, v, q_seg, kv_seg, kv_len, mesh, axis, cfg,
+                   causal, window, logit_cap, block_q, block_kv,
                    run_interpret):
     from gemm_hls_tpu.ops.pallas_flash import flash_mha
 
     n_ring = mesh.shape[axis]
     perm = _ring_shifts(n_ring)
+    has_seg = q_seg is not None
+    has_len = kv_len is not None
 
-    def local(qs_blk, k_blk, v_blk):
+    def local(qs_blk, k_blk, v_blk, *extra):
+        extra = list(extra)
+        qseg_blk = extra.pop(0) if has_seg else None
+        kvseg_blk = extra.pop(0) if has_seg else None
+        len_blk = extra.pop(0) if has_len else None
         bsz, s_loc, d = qs_blk.shape
+        s_kv_loc = k_blk.shape[1]
         my = jax.lax.axis_index(axis)
 
-        def partial_for(k_cur, v_cur, is_causal):
-            return flash_mha(qs_blk, k_cur, v_cur, cfg=cfg,
-                             causal=is_causal, block_q=block_q,
-                             block_kv=block_kv, interpret=run_interpret,
-                             save_lse=True)
+        def partial_for(k_cur, v_cur, kvseg_cur, is_causal, shard,
+                        offsets=None, lengths=None):
+            return flash_mha(qs_blk, k_cur, v_cur, kv_lengths=lengths,
+                             q_segment_ids=qseg_blk,
+                             kv_segment_ids=kvseg_cur if has_seg else None,
+                             offsets=offsets,
+                             cfg=cfg, causal=is_causal, block_q=block_q,
+                             block_kv=block_kv, window=window,
+                             logit_cap=logit_cap,
+                             interpret=run_interpret, save_lse=True)
 
-        def step_partial(t, k_cur, v_cur):
+        def skipped():
+            return (jnp.zeros((bsz, s_loc, d), jnp.float32),
+                    jnp.full((bsz, s_loc, 1), -jnp.inf, jnp.float32))
+
+        def step_partial(t, k_cur, v_cur, kvseg_cur):
+            shard = (my - t) % n_ring
+            if causal and window is not None:
+                # Uniform causal+window calls against absolute
+                # positions; shards wholly future OR wholly older than
+                # every query's window start are skipped.
+                live = (shard <= my) & (
+                    (shard + 1) * s_kv_loc > my * s_loc - window + 1)
+                offs = jnp.stack([my * s_loc, shard * s_kv_loc])
+                return jax.lax.cond(
+                    live,
+                    lambda: partial_for(k_cur, v_cur, kvseg_cur, True,
+                                        shard, offsets=offs),
+                    skipped)
             if causal:
-                # Resident kv shard index after t forward rotations.
-                shard = (my - t) % n_ring
                 branch = jnp.where(shard == my, 0,
                                    jnp.where(shard < my, 1, 2))
                 return jax.lax.switch(branch, [
-                    lambda: partial_for(k_cur, v_cur, True),   # diagonal
-                    lambda: partial_for(k_cur, v_cur, False),  # past
-                    lambda: (jnp.zeros((bsz, s_loc, d), jnp.float32),
-                             jnp.full((bsz, s_loc, 1), -jnp.inf,
-                                      jnp.float32)),           # future
+                    lambda: partial_for(k_cur, v_cur, kvseg_cur, True,
+                                        shard),                # diagonal
+                    lambda: partial_for(k_cur, v_cur, kvseg_cur, False,
+                                        shard),                # past
+                    skipped,                                   # future
                 ])
-            return partial_for(k_cur, v_cur, False)
+            if has_len:
+                loc_len = jnp.clip(len_blk - shard * s_kv_loc, 0,
+                                   s_kv_loc)
+                return partial_for(k_cur, v_cur, kvseg_cur, False, shard,
+                                   lengths=loc_len)
+            return partial_for(k_cur, v_cur, kvseg_cur, False, shard)
 
         def body(t, carry):
             # Rotate BEFORE compute: step t works on shard (my - t), and
-            # the loop runs t = 1..n-1 — no dead final rotation.
-            o, lse, k_cur, v_cur = carry
+            # the loop runs t = 1..n-1 — no dead final rotation.  The
+            # kv-side segment ids travel with their shard.
+            o, lse, k_cur, v_cur, kvseg_cur = carry
             k_cur = jax.lax.ppermute(k_cur, axis, perm)
             v_cur = jax.lax.ppermute(v_cur, axis, perm)
-            o_p, lse_p = step_partial(t, k_cur, v_cur)
+            if has_seg:
+                kvseg_cur = jax.lax.ppermute(kvseg_cur, axis, perm)
+            o_p, lse_p = step_partial(t, k_cur, v_cur, kvseg_cur)
             o, lse = _lse_combine(o, lse, o_p, lse_p)
-            return o, lse, k_cur, v_cur
+            return o, lse, k_cur, v_cur, kvseg_cur
 
         # Step 0 runs on the resident shard (always live under causal —
         # it is the diagonal).
-        o, lse = step_partial(0, k_blk, v_blk)
+        o, lse = step_partial(0, k_blk, v_blk, kvseg_blk)
         o = o.astype(jnp.float32)
-        o, lse, _, _ = jax.lax.fori_loop(
-            1, n_ring, body, (o, lse, k_blk, v_blk))
+        seg0 = kvseg_blk if has_seg else jnp.zeros((), jnp.int32)
+        o, lse, _, _, _ = jax.lax.fori_loop(
+            1, n_ring, body, (o, lse, k_blk, v_blk, seg0))
         return o.astype(qs_blk.dtype), lse
 
     spec = P(None, axis, None)
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+    seg_spec = P(None, axis)
+    in_specs = [spec, spec, spec]
+    operands = [qs, k, v]
+    if has_seg:
+        in_specs += [seg_spec, seg_spec]
+        operands += [q_seg, kv_seg]
+    if has_len:
+        in_specs.append(P(None))
+        operands.append(kv_len)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=(spec, spec), check_vma=False)
-    return fn(qs, k, v)
+    return fn(*operands)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def _ring_core(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
-               run_interpret):
-    o, _ = _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q,
-                          block_kv, run_interpret)
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
+def _ring_core(qs, k, v, q_seg, kv_seg, mesh, axis, cfg, causal, window,
+               logit_cap, block_q, block_kv, run_interpret):
+    o, _ = _ring_fwd_impl(qs, k, v, q_seg, kv_seg, None, mesh, axis, cfg,
+                          causal, window, logit_cap, block_q, block_kv,
+                          run_interpret)
     return o
 
 
-def _ring_core_fwd(qs, k, v, mesh, axis, cfg, causal, block_q, block_kv,
-                   run_interpret):
-    o, lse = _ring_fwd_impl(qs, k, v, mesh, axis, cfg, causal, block_q,
+def _ring_core_fwd(qs, k, v, q_seg, kv_seg, mesh, axis, cfg, causal,
+                   window, logit_cap, block_q, block_kv, run_interpret):
+    o, lse = _ring_fwd_impl(qs, k, v, q_seg, kv_seg, None, mesh, axis,
+                            cfg, causal, window, logit_cap, block_q,
                             block_kv, run_interpret)
-    return o, (qs, k, v, o, lse)
+    return o, (qs, k, v, o, lse, q_seg, kv_seg)
 
 
-def _ring_core_bwd(mesh, axis, cfg, causal, block_q, block_kv,
-                   run_interpret, res, do):
+def _ring_core_bwd(mesh, axis, cfg, causal, window, logit_cap, block_q,
+                   block_kv, run_interpret, res, do):
     """Second ring: each KV shard's accumulating (dk, dv) rotates WITH
     it, so after ring_size steps every shard has collected every
     device's contribution and is home.  dq accumulates locally.  The
@@ -241,56 +383,85 @@ def _ring_core_bwd(mesh, axis, cfg, causal, block_q, block_kv,
         flash_mha_bwd_dq, flash_mha_bwd_dkv,
     )
 
-    qs, k, v, o, lse = res
+    qs, k, v, o, lse, q_seg, kv_seg = res
     n_ring = mesh.shape[axis]
     perm = _ring_shifts(n_ring)
+    has_seg = q_seg is not None
 
-    def local(qs_blk, k_blk, v_blk, do_blk, o_blk, lse_blk):
+    def local(qs_blk, k_blk, v_blk, do_blk, o_blk, lse_blk, *extra):
+        extra = list(extra)
+        qseg_blk = extra.pop(0) if has_seg else None
+        kvseg_blk = extra.pop(0) if has_seg else None
         delta = jnp.sum(do_blk.astype(jnp.float32)
                         * o_blk.astype(jnp.float32), axis=-1,
                         keepdims=True)
         do_c = do_blk.astype(qs_blk.dtype)
         my = jax.lax.axis_index(axis)
+        s_loc = qs_blk.shape[1]
+        s_kv_loc = k_blk.shape[1]
+        kv_heads = k_blk.shape[0]
+        qseg3, _ = _seg3(qseg_blk, kvseg_blk)
 
-        def grads_for(k_cur, v_cur, is_causal):
+        def grads_for(k_cur, v_cur, kvseg_cur, is_causal, offsets=None):
+            kvseg3 = (kvseg_cur.astype(jnp.int32)[:, None, :]
+                      if has_seg else None)
             dqc = flash_mha_bwd_dq(
-                qs_blk, k_cur, v_cur, do_c, lse_blk, delta, cfg=cfg,
-                causal=is_causal, block_q=block_q, block_kv=block_kv,
+                qs_blk, k_cur, v_cur, do_c, lse_blk, delta, qseg3, kvseg3,
+                offsets, cfg=cfg, causal=is_causal, block_q=block_q,
+                block_kv=block_kv, window=window, logit_cap=logit_cap,
                 interpret=run_interpret).astype(jnp.float32)
             dkc, dvc = flash_mha_bwd_dkv(
-                qs_blk, k_cur, v_cur, do_c, lse_blk, delta, cfg=cfg,
-                causal=is_causal, block_q=block_q, block_kv=block_kv,
+                qs_blk, k_cur, v_cur, do_c, lse_blk, delta, qseg3, kvseg3,
+                offsets, cfg=cfg, causal=is_causal, block_q=block_q,
+                block_kv=block_kv, window=window, logit_cap=logit_cap,
                 interpret=run_interpret)
-            return dqc, dkc.astype(jnp.float32), dvc.astype(jnp.float32)
+            dkc, dvc = _group_reduce(dkc.astype(jnp.float32),
+                                     dvc.astype(jnp.float32), kv_heads)
+            return dqc, dkc, dvc
 
-        def step_grads(t, k_cur, v_cur):
+        def zeros():
+            return (jnp.zeros(qs_blk.shape, jnp.float32),
+                    jnp.zeros(k_blk.shape, jnp.float32),
+                    jnp.zeros(k_blk.shape, jnp.float32))
+
+        def step_grads(t, k_cur, v_cur, kvseg_cur):
+            shard = (my - t) % n_ring
+            if causal and window is not None:
+                live = (shard <= my) & (
+                    (shard + 1) * s_kv_loc > my * s_loc - window + 1)
+                offs = jnp.stack([my * s_loc, shard * s_kv_loc])
+                return jax.lax.cond(
+                    live,
+                    lambda: grads_for(k_cur, v_cur, kvseg_cur, True,
+                                      offsets=offs),
+                    zeros)
             if causal:
-                shard = (my - t) % n_ring
                 branch = jnp.where(shard == my, 0,
                                    jnp.where(shard < my, 1, 2))
-                z_q = jnp.zeros(qs_blk.shape, jnp.float32)
-                z_kv = jnp.zeros(k_cur.shape, jnp.float32)
                 return jax.lax.switch(branch, [
-                    lambda: grads_for(k_cur, v_cur, True),
-                    lambda: grads_for(k_cur, v_cur, False),
-                    lambda: (z_q, z_kv, z_kv),
+                    lambda: grads_for(k_cur, v_cur, kvseg_cur, True),
+                    lambda: grads_for(k_cur, v_cur, kvseg_cur, False),
+                    zeros,
                 ])
-            return grads_for(k_cur, v_cur, False)
+            return grads_for(k_cur, v_cur, kvseg_cur, False)
 
         def body(t, carry):
             # Rotate BEFORE compute (t = 1..n-1): each shard travels
             # with its accumulating (dk, dv).
-            dq, dk, dv, k_cur, v_cur = carry
+            dq, dk, dv, k_cur, v_cur, kvseg_cur = carry
             k_cur = jax.lax.ppermute(k_cur, axis, perm)
             v_cur = jax.lax.ppermute(v_cur, axis, perm)
             dk = jax.lax.ppermute(dk, axis, perm)
             dv = jax.lax.ppermute(dv, axis, perm)
-            dqc, dkc, dvc = step_grads(t, k_cur, v_cur)
-            return dq + dqc, dk + dkc, dv + dvc, k_cur, v_cur
+            if has_seg:
+                kvseg_cur = jax.lax.ppermute(kvseg_cur, axis, perm)
+            dqc, dkc, dvc = step_grads(t, k_cur, v_cur, kvseg_cur)
+            return dq + dqc, dk + dkc, dv + dvc, k_cur, v_cur, kvseg_cur
 
-        dq, dk, dv = step_grads(0, k_blk, v_blk)
-        dq, dk, dv, _, _ = jax.lax.fori_loop(
-            1, n_ring, body, (dq, dk, dv, k_blk, v_blk))
+        dq, dk, dv = step_grads(0, k_blk, v_blk, kvseg_blk)
+        seg0 = kvseg_blk if has_seg else jnp.zeros((), jnp.int32)
+        dq, dk, dv, _, _, _ = jax.lax.fori_loop(
+            1, n_ring, body, (dq, dk, dv, k_blk, v_blk, seg0))
         # One final gradient-only rotation sends each shard's completed
         # (dk, dv) home (the KV payload itself no longer needs to move).
         dk = jax.lax.ppermute(dk, axis, perm)
@@ -299,10 +470,21 @@ def _ring_core_bwd(mesh, axis, cfg, causal, block_q, block_kv,
                 dv.astype(v_blk.dtype))
 
     spec = P(None, axis, None)
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(spec,) * 6,
+    seg_spec = P(None, axis)
+    in_specs = [spec] * 6
+    operands = [qs, k, v, do, o, lse]
+    if has_seg:
+        in_specs += [seg_spec, seg_spec]
+        operands += [q_seg, kv_seg]
+    fn = jax.shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=(spec, spec, spec), check_vma=False)
-    return fn(qs, k, v, do, o, lse)
+    dq, dk, dv = fn(*operands)
+    # Integer segment-id inputs take float0 cotangents.
+    ct_seg = (None if q_seg is None else
+              np.zeros(q_seg.shape, jax.dtypes.float0))
+    ct_kvseg = (None if kv_seg is None else
+                np.zeros(kv_seg.shape, jax.dtypes.float0))
+    return dq, dk, dv, ct_seg, ct_kvseg
 
 
 _ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
@@ -334,7 +516,7 @@ _ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
 # chunk-pair flash calls on every device.
 
 def _zz_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
-                 run_interpret):
+                 run_interpret, logit_cap=None):
     from gemm_hls_tpu.ops.pallas_flash import flash_mha
 
     n_ring = mesh.shape[axis]
@@ -348,6 +530,7 @@ def _zz_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
         def flash(qc, kc, vc, is_causal):
             o_p, lse_p = flash_mha(qc, kc, vc, cfg=cfg, causal=is_causal,
                                    block_q=block_q, block_kv=block_kv,
+                                   logit_cap=logit_cap,
                                    interpret=run_interpret, save_lse=True)
             return o_p.astype(jnp.float32), lse_p
 
@@ -392,22 +575,23 @@ def _zz_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
     return fn(qs, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _zz_core(qs, k, v, mesh, axis, cfg, block_q, block_kv, run_interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _zz_core(qs, k, v, mesh, axis, cfg, block_q, block_kv, run_interpret,
+             logit_cap):
     o, _ = _zz_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
-                        run_interpret)
+                        run_interpret, logit_cap)
     return o
 
 
 def _zz_core_fwd(qs, k, v, mesh, axis, cfg, block_q, block_kv,
-                 run_interpret):
+                 run_interpret, logit_cap):
     o, lse = _zz_fwd_impl(qs, k, v, mesh, axis, cfg, block_q, block_kv,
-                          run_interpret)
+                          run_interpret, logit_cap)
     return o, (qs, k, v, o, lse)
 
 
-def _zz_core_bwd(mesh, axis, cfg, block_q, block_kv, run_interpret, res,
-                 do):
+def _zz_core_bwd(mesh, axis, cfg, block_q, block_kv, run_interpret,
+                 logit_cap, res, do):
     """Gradient ring in zigzag layout: each KV shard's accumulating
     (dk, dv) rotates with it (same schedule as ``_ring_core_bwd``), and
     each step mirrors the forward's uniform two-pair structure."""
@@ -422,6 +606,7 @@ def _zz_core_bwd(mesh, axis, cfg, block_q, block_kv, run_interpret, res,
     def local(qs_blk, k_blk, v_blk, do_blk, o_blk, lse_blk):
         c = qs_blk.shape[1] // 2
         my = jax.lax.axis_index(axis)
+        kv_heads = k_blk.shape[0]
         delta = jnp.sum(do_blk.astype(jnp.float32)
                         * o_blk.astype(jnp.float32), axis=-1,
                         keepdims=True)
@@ -435,12 +620,16 @@ def _zz_core_bwd(mesh, axis, cfg, block_q, block_kv, run_interpret, res,
             dqc = flash_mha_bwd_dq(
                 qc, kc, vc, doc, lsec, dc, cfg=cfg, causal=is_causal,
                 block_q=block_q, block_kv=block_kv,
+                logit_cap=logit_cap,
                 interpret=run_interpret).astype(jnp.float32)
             dkc, dvc = flash_mha_bwd_dkv(
                 qc, kc, vc, doc, lsec, dc, cfg=cfg, causal=is_causal,
                 block_q=block_q, block_kv=block_kv,
+                logit_cap=logit_cap,
                 interpret=run_interpret)
-            return dqc, dkc.astype(jnp.float32), dvc.astype(jnp.float32)
+            dkc, dvc = _group_reduce(dkc.astype(jnp.float32),
+                                     dvc.astype(jnp.float32), kv_heads)
+            return dqc, dkc, dvc
 
         # Step 0: both diagonals + the always-past (q_hi, kv_lo) pair.
         dq_lo, dk_c, dv_c = grads_for(

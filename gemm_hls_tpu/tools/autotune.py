@@ -381,6 +381,267 @@ def autotune_batched(bsz: int, m: int, n: int, k: int, *,
     return best
 
 
+# ---------------------------------------------------------------------------
+# Kernel-family tuning: flash attention (block_q, block_kv), quantized
+# GEMMs (block triples on the dequant/W8A8 kernels), grouped MoE GEMM.
+# Same cache/seed machinery as the dense buckets — family-prefixed keys;
+# the dispatchers consult cached_family_entry() and keep their built-in
+# defaults on a miss.  (Reference: the config sweep as the tuning loop,
+# ``scripts/build_manager.py:417-431``, applied beyond the dense kernel.)
+# ---------------------------------------------------------------------------
+
+
+def _key_family(chip: str, family: str, dtype: str, dims, tag: str = ""):
+    dims_s = "x".join(str(_bucket(int(v))) for v in dims)
+    base = f"{chip}/{family}/{dtype}/{dims_s}"
+    return f"{base}/{tag}" if tag else base
+
+
+def cached_family_entry(family: str, dims, *, dtype: str, tag: str = "",
+                        cache_path: Optional[str] = None) -> Optional[dict]:
+    """Cached winner dict for a kernel family, or None — never measures.
+
+    Families in use: ``flash`` (dims = (B, S_q, S_kv, D), tag
+    "causal"/"full", entry keys block_q/block_kv), ``w8a8`` /
+    ``dequant4`` / ``dequant8`` (dims = (M, N, K), entry keys
+    block_m/n/k), ``grouped`` (dims = (M, K, N, G), entry keys
+    block_m/n/k)."""
+    from gemm_hls_tpu.models.perf_model import detect_chip
+
+    if cache_path is None:
+        cache_path = DEFAULT_CACHE
+    key = _key_family(detect_chip().name, family, dtype, dims, tag)
+    for path in (cache_path, SEED_CACHE):
+        e = _load_memoized(path).get(key)
+        if e is not None:
+            return e
+    return None
+
+
+def _tune_family(family: str, dims, dtype: str, tag: str, candidates,
+                 measure, flops: float, ceiling: Optional[float],
+                 cache_path: str, rounds: int, force: bool,
+                 verbose: bool) -> dict:
+    """Median-of-rounds measurement loop shared by the family tuners.
+
+    ``candidates`` is a list of entry dicts; ``measure(entry)`` returns
+    seconds per call (raises on infeasible).  Readings above ``ceiling``
+    GFLOP/s are re-measured and dropped if still impossible (transport
+    hiccups on the remote-attached chip)."""
+    from gemm_hls_tpu.models.perf_model import detect_chip
+
+    chip = detect_chip()
+    key = _key_family(chip.name, family, dtype, dims, tag)
+    cache = _load(cache_path)
+    if key in cache and not force:
+        return cache[key]
+
+    best, best_gf = None, -1.0
+    for entry in candidates:
+        samples, status = [], "ok"
+        for _ in range(max(1, rounds)):
+            try:
+                secs = measure(entry)
+                retries = 2
+                while ceiling and flops / secs / 1e9 > ceiling and retries:
+                    secs = measure(entry)
+                    retries -= 1
+            except Exception as e:  # noqa: BLE001 — infeasible candidate
+                status = f"fail:{type(e).__name__}"
+                break
+            if ceiling and flops / secs / 1e9 > ceiling:
+                status = "unreliable_timing"
+                continue
+            samples.append(flops / secs / 1e9)
+        gf = sorted(samples)[len(samples) // 2] if samples else None
+        if verbose:
+            print(f"  {entry} -> {status}"
+                  + (f" median {gf:.0f} GFLOP/s" if gf else ""))
+        if gf and gf > best_gf:
+            best, best_gf = dict(entry), gf
+    if best is None:
+        raise RuntimeError(f"autotune family: no feasible candidate "
+                           f"for {key}")
+    best["gflops"] = round(best_gf, 1)
+    cache[key] = best
+    _store(cache_path, cache)
+    return best
+
+
+def autotune_flash(bsz: int, s_q: int, s_kv: int, d: int, *,
+                   dtype: str = "bfloat16", causal: bool = False,
+                   cache_path: str = DEFAULT_CACHE, iters: int = 8,
+                   rounds: int = 3, force: bool = False,
+                   verbose: bool = False) -> dict:
+    """Best measured (block_q, block_kv) for the flash forward kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemm_hls_tpu.models.perf_model import detect_chip
+    from gemm_hls_tpu.ops.attention import flash_attention
+    from gemm_hls_tpu.utils.benchmark import time_fn
+
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    jdt = jnp.dtype(dtype)
+    q = (jax.random.normal(kq, (bsz, s_q, d), jnp.float32) * 0.3).astype(jdt)
+    k = (jax.random.normal(kk, (bsz, s_kv, d), jnp.float32) * 0.3).astype(jdt)
+    v = (jax.random.normal(kv, (bsz, s_kv, d), jnp.float32) * 0.3).astype(jdt)
+    jax.block_until_ready((q, k, v))
+    flops = 4.0 * bsz * s_q * s_kv * d / (2 if causal else 1)
+    iters = max(iters, min(500, int(1.5e12 / max(flops, 1))))
+    try:
+        ceiling = detect_chip().peak_for(dtype) or None
+    except Exception:  # noqa: BLE001
+        ceiling = None
+
+    raw = [(512, 2048), (512, 1024), (1024, 1024), (256, 2048),
+           (1024, 2048), (512, 512), (256, 1024), (2048, 512)]
+    cands, seen = [], set()
+    for bq, bkv in raw:
+        bq, bkv = min(bq, s_q), min(bkv, s_kv)
+        if (bq, bkv) not in seen:
+            seen.add((bq, bkv))
+            cands.append({"block_q": bq, "block_kv": bkv})
+
+    def measure(entry):
+        fn = jax.jit(lambda q, k, v, e=entry: flash_attention(
+            q, k, v, causal=causal, block_q=e["block_q"],
+            block_kv=e["block_kv"]))
+        return time_fn(fn, [(q, k, v)], iters=iters, warmup=1)
+
+    return _tune_family("flash", (bsz, s_q, s_kv, d), dtype,
+                        "causal" if causal else "full", cands, measure,
+                        flops, ceiling, cache_path, rounds, force, verbose)
+
+
+_QUANT_BLOCK_CANDS = [(512, 1024, 4096), (512, 1024, 2048),
+                      (512, 2048, 2048), (256, 1024, 4096),
+                      (512, 1024, 1024), (512, 512, 4096),
+                      (1024, 1024, 2048)]
+
+
+def autotune_quant(m: int, n: int, k: int, *, mode: str = "w8a8",
+                   group_size: Optional[int] = None,
+                   act_dtype: str = "bfloat16",
+                   cache_path: str = DEFAULT_CACHE, iters: int = 8,
+                   rounds: int = 3, force: bool = False,
+                   verbose: bool = False) -> dict:
+    """Best measured blocks for the quantized GEMMs.
+
+    ``mode``: "w8a8" (dynamic int8 activations on the int8 engine) or
+    "int4"/"int8" (weight-only fused dequant)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.models.perf_model import detect_chip
+    from gemm_hls_tpu.ops.quant import (matmul_quantized, matmul_w8a8,
+                                        quantize_weights)
+    from gemm_hls_tpu.utils.benchmark import time_fn
+
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((k, n)) / np.sqrt(k)).astype(np.float32)
+    bits = 4 if mode == "int4" else 8
+    g = group_size if mode != "w8a8" else None
+    wq, s = quantize_weights(w, bits=bits, group_size=g)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.dtype(act_dtype))
+    wqj, sj = jnp.asarray(wq), jnp.asarray(s)
+    jax.block_until_ready((x, wqj, sj))
+    flops = 2.0 * m * n * k
+    iters = max(iters, min(500, int(1.5e12 / max(flops, 1))))
+    try:
+        chip = detect_chip()
+        ceiling = (chip.peak_for("int8") if mode == "w8a8"
+                   else chip.peak_for(act_dtype)) or None
+    except Exception:  # noqa: BLE001
+        ceiling = None
+
+    base = default_config("int8" if mode == "w8a8" else act_dtype)
+    cands = []
+    for bm, bn, bk in _QUANT_BLOCK_CANDS:
+        e = {"block_m": min(bm, _bucket(m)), "block_n": min(bn, n),
+             "block_k": min(bk, k)}
+        if g and (e["block_k"] % g or e["block_k"] < g):
+            e["block_k"] = max(g, (e["block_k"] // g) * g)
+        if e not in cands:
+            cands.append(e)
+
+    def measure(entry):
+        cfg = base.replace(block_m=entry["block_m"],
+                           block_n=entry["block_n"],
+                           block_k=entry["block_k"],
+                           vmem_limit_bytes=110 * 1024 * 1024)
+        if mode == "w8a8":
+            fn = jax.jit(lambda x, wq, s, c=cfg: matmul_w8a8(
+                x, wq, s, config=c))
+        else:
+            fn = jax.jit(lambda x, wq, s, c=cfg: matmul_quantized(
+                x, wq, s, bits=bits, group_size=g, config=c))
+        return time_fn(fn, [(x, wqj, sj)], iters=iters, warmup=1)
+
+    tag = f"g{g}" if g else "chan"
+    return _tune_family(mode if mode == "w8a8" else f"dequant{bits}",
+                        (m, n, k), act_dtype, tag, cands, measure, flops,
+                        ceiling, cache_path, rounds, force, verbose)
+
+
+def autotune_grouped(m: int, k: int, n: int, num_groups: int, *,
+                     dtype: str = "bfloat16",
+                     cache_path: str = DEFAULT_CACHE, iters: int = 8,
+                     rounds: int = 3, force: bool = False,
+                     verbose: bool = False) -> dict:
+    """Best measured blocks for the grouped (ragged MoE) GEMM, even
+    routing (the schedule's shape is routing-dependent; even routing is
+    the representative steady-state)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from gemm_hls_tpu.config import GemmConfig
+    from gemm_hls_tpu.models.perf_model import detect_chip
+    from gemm_hls_tpu.ops.grouped import grouped_matmul
+    from gemm_hls_tpu.utils.benchmark import time_fn
+
+    rng = np.random.default_rng(5)
+    jdt = jnp.dtype(dtype)
+    lhs = jnp.asarray(rng.standard_normal((m, k)), jdt)
+    rhs = jnp.asarray(rng.standard_normal((num_groups, k, n))
+                      / np.sqrt(k), jdt)
+    sizes = jnp.full((num_groups,), m // num_groups, jnp.int32)
+    jax.block_until_ready((lhs, rhs))
+    flops = 2.0 * m * k * n       # every row contracts with one expert
+    iters = max(iters, min(500, int(1.5e12 / max(flops, 1))))
+    try:
+        ceiling = detect_chip().peak_for(dtype) or None
+    except Exception:  # noqa: BLE001
+        ceiling = None
+
+    raw = [(512, 1024, 1024), (512, 512, 1024), (256, 1024, 1024),
+           (512, 1024, 512), (512, 2048, 512), (256, 512, 2048)]
+    cands = []
+    for bm, bn, bk in raw:
+        e = {"block_m": min(bm, _bucket(m)), "block_n": min(bn, n),
+             "block_k": min(bk, k)}
+        if e not in cands:
+            cands.append(e)
+
+    def measure(entry):
+        cfg = GemmConfig(dtype=dtype, out_dtype=dtype,
+                         block_m=entry["block_m"],
+                         block_n=entry["block_n"],
+                         block_k=entry["block_k"],
+                         vmem_limit_bytes=110 * 1024 * 1024)
+        fn = jax.jit(lambda a, b, s, c=cfg: grouped_matmul(a, b, s, c))
+        return time_fn(fn, [(lhs, rhs, sizes)], iters=iters, warmup=1)
+
+    return _tune_family("grouped", (m, k, n, num_groups), dtype, "",
+                        cands, measure, flops, ceiling, cache_path,
+                        rounds, force, verbose)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("m", type=int)
@@ -389,11 +650,41 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=None,
                    help="tune the batched kernel's batch_block for a "
                         "(B, M, K) x (B, K, N) problem")
+    p.add_argument("--family", default=None,
+                   choices=["flash", "w8a8", "int4", "int8", "grouped"],
+                   help="tune a non-dense kernel family instead of the "
+                        "dense blocks.  flash: m n k = B S_q(S_kv) D "
+                        "(--causal for the causal kernel); w8a8/int4/"
+                        "int8: M N K (--group for group-wise scales); "
+                        "grouped: m n k = M K N with --groups experts")
+    p.add_argument("--causal", action="store_true")
+    p.add_argument("--group", type=int, default=None)
+    p.add_argument("--groups", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--semiring", default="plus_times")
     p.add_argument("--cache", default=DEFAULT_CACHE)
     p.add_argument("--force", action="store_true")
     args = p.parse_args(argv)
+    if args.family == "flash":
+        e = autotune_flash(args.m, args.n, args.n, args.k,
+                           dtype=args.dtype, causal=args.causal,
+                           cache_path=args.cache, force=args.force,
+                           verbose=True)
+        print(f"best: {e}")
+        return e
+    if args.family in ("w8a8", "int4", "int8"):
+        e = autotune_quant(args.m, args.n, args.k, mode=args.family,
+                           group_size=args.group, act_dtype=args.dtype,
+                           cache_path=args.cache, force=args.force,
+                           verbose=True)
+        print(f"best: {e}")
+        return e
+    if args.family == "grouped":
+        e = autotune_grouped(args.m, args.n, args.k, args.groups,
+                             dtype=args.dtype, cache_path=args.cache,
+                             force=args.force, verbose=True)
+        print(f"best: {e}")
+        return e
     if args.batch is not None:
         bb = autotune_batched(args.batch, args.m, args.n, args.k,
                               dtype=args.dtype, semiring=args.semiring,

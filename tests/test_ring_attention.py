@@ -269,3 +269,271 @@ def test_zigzag_rejects_bad_args():
     with pytest.raises(ValueError):  # 2*ring must divide S
         ring_flash_attention(q2, q2, q2, mesh, causal=True, zigzag=True,
                              interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Feature parity with the single-chip flash surface (mirrors
+# tests/test_flash.py's coverage: GQA, sliding window, segment ids,
+# logit soft-cap, per-example KV lengths) — over the ring.
+# ---------------------------------------------------------------------------
+
+
+def _masked_ref(q, k, v, *, scale=None, causal=False, window=None,
+                logit_cap=None, q_seg=None, kv_seg=None, kv_len=None):
+    """Dense float64 oracle with the full mask surface + GQA."""
+    q64 = np.asarray(q, np.float64)
+    k64 = np.asarray(k, np.float64)
+    v64 = np.asarray(v, np.float64)
+    group = q64.shape[0] // k64.shape[0]
+    k64 = np.repeat(k64, group, axis=0)
+    v64 = np.repeat(v64, group, axis=0)
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    s = q64 @ k64.transpose(0, 2, 1) * scale
+    if logit_cap is not None:
+        s = logit_cap * np.tanh(s / logit_cap)
+    bq, sq, _ = q64.shape
+    skv = k64.shape[1]
+    mask = np.ones((bq, sq, skv), bool)
+    qpos = np.arange(sq)[:, None]
+    kpos = np.arange(skv)[None, :]
+    if causal:
+        mask &= (kpos <= qpos)[None]
+        if window is not None:
+            mask &= (kpos > qpos - window)[None]
+    if q_seg is not None:
+        qs_ = np.repeat(np.asarray(q_seg), 1, axis=0)
+        ks_ = np.repeat(np.asarray(kv_seg), group, axis=0)
+        mask &= qs_[:, :, None] == ks_[:, None, :]
+    if kv_len is not None:
+        lens = np.repeat(np.asarray(kv_len), group, axis=0)
+        mask &= kpos[None] < lens[:, None, None]
+    mx = np.where(mask, s, -np.inf).max(-1, keepdims=True, initial=-np.inf)
+    p = np.where(mask, np.exp(s - np.where(np.isfinite(mx), mx, 0.0)), 0.0)
+    den = p.sum(-1, keepdims=True)
+    return np.where(den == 0, 0.0, p / np.where(den == 0, 1, den)) @ v64
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_gqa(causal):
+    # 8 q heads share 2 kv heads; kv shards rotate in kv-head shape.
+    mesh = make_mesh((4,), ("x",))
+    bq, bkv_h, s, d = 8, 2, 128, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (bq, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (bkv_h, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (bkv_h, s, d)), jnp.float32)
+    out = ring_flash_attention(q, k, v, mesh, causal=causal,
+                               block_q=32, block_kv=32, interpret=True)
+    assert out.shape == (bq, s, d)
+    np.testing.assert_allclose(
+        np.asarray(out), _masked_ref(q, k, v, causal=causal),
+        rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("window", [16, 48, 200])
+def test_ring_sliding_window(window):
+    # Window smaller / straddling / larger than a 32-token KV shard.
+    mesh = make_mesh((4,), ("x",))
+    b, s, d = 2, 128, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    out = ring_flash_attention(q, k, v, mesh, causal=True, window=window,
+                               block_q=16, block_kv=16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _masked_ref(q, k, v, causal=True, window=window),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_ring_window_matches_single_device():
+    from gemm_hls_tpu.ops.attention import flash_attention
+
+    mesh = make_mesh((8,), ("x",))
+    b, s, d = 2, 256, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    ours = ring_flash_attention(q, k, v, mesh, causal=True, window=40,
+                                block_q=32, block_kv=32, interpret=True)
+    ref = flash_attention(q, k, v, causal=True, window=40, block_q=32,
+                          block_kv=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ring_logit_cap():
+    mesh = make_mesh((4,), ("x",))
+    b, s, d = 2, 128, 32
+    q = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-2, 2, (b, s, d)), jnp.float32)
+    out = ring_flash_attention(q, k, v, mesh, causal=True, logit_cap=5.0,
+                               block_q=32, block_kv=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _masked_ref(q, k, v, causal=True, logit_cap=5.0),
+        rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_segment_ids(causal):
+    # Two packed documents per row; boundary NOT shard-aligned.
+    mesh = make_mesh((4,), ("x",))
+    b, s, d = 2, 128, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    seg = np.zeros((b, s), np.int32)
+    seg[0, 50:] = 1
+    seg[1, 90:] = 1
+    seg_j = jnp.asarray(seg)
+    out = ring_flash_attention(q, k, v, mesh, causal=causal,
+                               q_segment_ids=seg_j, kv_segment_ids=seg_j,
+                               block_q=16, block_kv=16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        _masked_ref(q, k, v, causal=causal, q_seg=seg, kv_seg=seg),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_ring_kv_lengths_padded_batch():
+    # Non-causal padded batch: logical lengths end mid-shard.
+    mesh = make_mesh((4,), ("x",))
+    b, s, d = 3, 128, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    lens = np.asarray([128, 43, 70], np.int32)
+    out = ring_flash_attention(q, k, v, mesh,
+                               kv_lengths=jnp.asarray(lens),
+                               block_q=16, block_kv=16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _masked_ref(q, k, v, kv_len=lens),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_ring_gqa_window_segment_gradients():
+    # The composed feature set, differentiated, vs XLA autodiff.
+    mesh = make_mesh((4,), ("x",))
+    bq, bkv_h, s, d = 4, 2, 64, 16
+    window = 24
+    q = jnp.asarray(RNG.uniform(-1, 1, (bq, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (bkv_h, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (bkv_h, s, d)), jnp.float32)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring_flash_attention(
+            q, k, v, mesh, causal=True, window=window, block_q=16,
+            block_kv=16, interpret=True) ** 2)
+
+    def ref_loss(q, k, v):
+        group = q.shape[0] // k.shape[0]
+        kr = jnp.repeat(k, group, axis=0)
+        vr = jnp.repeat(v, group, axis=0)
+        sc = jnp.einsum("bqd,bkd->bqk", q, kr) / np.sqrt(d)
+        qpos = jnp.arange(s)[:, None]
+        kpos = jnp.arange(s)[None, :]
+        mask = (kpos <= qpos) & (kpos > qpos - window)
+        sc = jnp.where(mask, sc, -jnp.inf)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, vr) ** 2)
+
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_ring_segment_gradients():
+    mesh = make_mesh((4,), ("x",))
+    b, s, d = 2, 64, 16
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    seg = np.zeros((b, s), np.int32)
+    seg[0, 30:] = 1
+    seg[1, 50:] = 1
+    seg_j = jnp.asarray(seg)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring_flash_attention(
+            q, k, v, mesh, causal=True, q_segment_ids=seg_j,
+            kv_segment_ids=seg_j, block_q=16, block_kv=16,
+            interpret=True) ** 2)
+
+    def ref_loss(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k) / np.sqrt(d)
+        qpos = jnp.arange(s)[:, None]
+        kpos = jnp.arange(s)[None, :]
+        mask = (kpos <= qpos)[None] & (seg_j[:, :, None]
+                                       == seg_j[:, None, :])
+        sc = jnp.where(mask, sc, -jnp.inf)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v) ** 2)
+
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_zigzag_gqa_logit_cap():
+    mesh = make_mesh((4,), ("x",))
+    bq, bkv_h, s, d = 4, 2, 128, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (bq, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (bkv_h, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (bkv_h, s, d)), jnp.float32)
+    out = ring_flash_attention(q, k, v, mesh, causal=True, zigzag=True,
+                               logit_cap=10.0, block_q=16, block_kv=16,
+                               interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        _masked_ref(q, k, v, causal=True, logit_cap=10.0),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_zigzag_gqa_gradients():
+    mesh = make_mesh((2,), ("x",))
+    bq, bkv_h, s, d = 4, 2, 64, 16
+    q = jnp.asarray(RNG.uniform(-1, 1, (bq, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (bkv_h, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (bkv_h, s, d)), jnp.float32)
+
+    def zz_loss(q, k, v):
+        return jnp.sum(ring_flash_attention(
+            q, k, v, mesh, causal=True, zigzag=True, block_q=16,
+            block_kv=16, interpret=True) ** 2)
+
+    def ref_loss(q, k, v):
+        group = q.shape[0] // k.shape[0]
+        kr = jnp.repeat(k, group, axis=0)
+        vr = jnp.repeat(v, group, axis=0)
+        sc = jnp.einsum("bqd,bkd->bqk", q, kr) / np.sqrt(d)
+        sc = jnp.where(jnp.tril(jnp.ones((s, s), bool)), sc, -jnp.inf)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, vr) ** 2)
+
+    g_zz = jax.grad(zz_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("dq dk dv".split(), g_zz, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_ring_feature_rejections():
+    mesh = make_mesh((4,), ("x",))
+    q = jnp.zeros((2, 128, 32))
+    lens = jnp.asarray([128, 64], jnp.int32)
+    with pytest.raises(ValueError):  # kv_lengths needs non-causal
+        ring_flash_attention(q, q, q, mesh, causal=True, kv_lengths=lens,
+                             interpret=True)
+    with pytest.raises(ValueError):  # window needs causal
+        ring_flash_attention(q, q, q, mesh, window=16, interpret=True)
+    with pytest.raises(ValueError):  # zigzag has no window surface
+        ring_flash_attention(q, q, q, mesh, causal=True, zigzag=True,
+                             window=16, interpret=True)
+    with pytest.raises(ValueError):  # segment ids come in pairs
+        ring_flash_attention(q, q, q, mesh,
+                             q_segment_ids=jnp.zeros((2, 128), jnp.int32),
+                             interpret=True)

@@ -160,13 +160,15 @@ def main():
                           "error": "all configurations failed"}))
         return 1
 
-    # Winner protocol: interleaved median-of-3 against XLA's dot — paired
+    # Winner protocol: interleaved median-of-5 against XLA's dot — paired
     # back-to-back samples cancel relay/clock drift, medians reject
-    # hiccups, and the published value is a median (not a max).
+    # hiccups, and the published value is a median (not a max).  Five
+    # rounds (was three): BENCH_r03's 0.983 ratio sat inside the
+    # observed +-2%-per-median noise band of the 3-round protocol.
     win_fn = jax.jit(lambda x, y, c=best_cfg: matmul(x, y, config=c))
     xla_fn = jax.jit(lambda x, y: jnp.dot(x, y))
     p_samples, x_samples = [], []
-    for r in range(3):
+    for r in range(5):
         gp = bench_one(f"winner median round {r}", win_fn, (a16, b16))
         gx = bench_one(f"xla jnp.dot bf16 round {r}", xla_fn, (a16, b16))
         if gp:

@@ -1,0 +1,63 @@
+"""Resolve the bf16 8192^3 headline ratio vs XLA (VERDICT r3 weak #1).
+
+BENCH_r02 captured ours 191.4 GF / 1.029x XLA; BENCH_r03 186.2 / 0.983x.
+Are the two configs truly ~1.00x +- noise, or did round-3 regress the
+square bucket?  Ten interleaved rounds of the two seed candidates and
+jnp.dot, medians + spreads printed.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python experiments/headline_ratio.py
+"""
+
+import statistics
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gemm_hls_tpu import GemmConfig, matmul
+    from gemm_hls_tpu.utils.benchmark import time_fn
+
+    m = n = k = 8192
+    ka, kb = jax.random.split(jax.random.PRNGKey(5))
+    a = jax.random.uniform(ka, (m, k), jnp.float32, 1, 10).astype(jnp.bfloat16)
+    b = jax.random.uniform(kb, (k, n), jnp.float32, 1, 10).astype(jnp.bfloat16)
+    jax.block_until_ready((a, b))
+
+    base = GemmConfig(dtype="bfloat16", vmem_limit_bytes=115343360)
+    cands = {
+        "p_512x1024": base.replace(block_m=512, block_n=1024, block_k=8192),
+        "p_1024x512": base.replace(block_m=1024, block_n=512, block_k=8192),
+        "xla": None,
+    }
+    fns = {}
+    for name, cfg in cands.items():
+        if cfg is None:
+            fns[name] = jax.jit(lambda x, y: jnp.dot(x, y))
+        else:
+            fns[name] = jax.jit(lambda x, y, c=cfg: matmul(x, y, config=c))
+
+    flops = 2.0 * m * n * k
+    samples = {name: [] for name in fns}
+    for r in range(10):
+        for name, fn in fns.items():
+            t = time_fn(fn, [(a, b)], iters=10)
+            gf = flops / t / 1e9
+            if gf < 197000:           # bf16 engine peak sanity
+                samples[name].append(gf)
+        print(f"round {r}: " + "  ".join(
+            f"{nm}={s[-1]:.0f}" if s else f"{nm}=?"
+            for nm, s in samples.items()), flush=True)
+
+    meds = {}
+    for name, s in samples.items():
+        meds[name] = statistics.median(s)
+        print(f"{name}: median {meds[name]:.0f} GF  "
+              f"min {min(s):.0f} max {max(s):.0f} n={len(s)}")
+    best = max(meds["p_512x1024"], meds["p_1024x512"])
+    print(f"ratio best-ours / xla = {best / meds['xla']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

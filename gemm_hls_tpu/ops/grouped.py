@@ -106,7 +106,11 @@ def grouped_matmul(lhs, rhs, group_sizes, cfg: GemmConfig | None = None,
       lhs: (M, K) activations, rows grouped contiguously by expert.
       rhs: (G, K, N) expert weights — (G, N, K) with ``transpose_rhs``.
       group_sizes: (G,) integer rows-per-expert; ``sum`` may be < M
-        (trailing rows return zeros) but must not exceed M.
+        (trailing rows return zeros).  Oversized routing
+        (``sum > M``) is NOT an error: the schedule clamps every
+        group's row range to [0, M), so groups past the clamp silently
+        compute fewer rows (the trailing ones are dropped) — callers
+        that can overflow should validate sizes themselves.
       cfg: optional :class:`GemmConfig` (block sizes, dtypes, precision,
         interpret); defaults to the dtype-promoted default config.
       transpose_rhs: contract over each expert matrix's *last* axis.

@@ -488,9 +488,12 @@ def autotune_flash(bsz: int, s_q: int, s_kv: int, d: int, *,
     v = (jax.random.normal(kv, (bsz, s_kv, d), jnp.float32) * 0.3).astype(jdt)
     jax.block_until_ready((q, k, v))
     flops = 4.0 * bsz * s_q * s_kv * d / (2 if causal else 1)
-    iters = max(iters, min(500, int(1.5e12 / max(flops, 1))))
+    # >= ~6 TFLOP per reading: shorter integrations produced
+    # above-peak slope artifacts on the remote tunnel.
+    iters = max(iters, min(500, int(6e12 / max(flops, 1))))
     try:
-        ceiling = detect_chip().peak_for(dtype) or None
+        # peak_for is FLOP/s; _tune_family compares GFLOP/s.
+        ceiling = (detect_chip().peak_for(dtype) or 0) / 1e9 or None
     except Exception:  # noqa: BLE001
         ceiling = None
 
@@ -550,11 +553,12 @@ def autotune_quant(m: int, n: int, k: int, *, mode: str = "w8a8",
     wqj, sj = jnp.asarray(wq), jnp.asarray(s)
     jax.block_until_ready((x, wqj, sj))
     flops = 2.0 * m * n * k
-    iters = max(iters, min(500, int(1.5e12 / max(flops, 1))))
+    iters = max(iters, min(500, int(6e12 / max(flops, 1))))
     try:
         chip = detect_chip()
-        ceiling = (chip.peak_for("int8") if mode == "w8a8"
-                   else chip.peak_for(act_dtype)) or None
+        # peak_for is FLOP/s; _tune_family compares GFLOP/s.
+        ceiling = ((chip.peak_for("int8") if mode == "w8a8"
+                    else chip.peak_for(act_dtype)) or 0) / 1e9 or None
     except Exception:  # noqa: BLE001
         ceiling = None
 
@@ -613,14 +617,16 @@ def autotune_grouped(m: int, k: int, n: int, num_groups: int, *,
     sizes = jnp.full((num_groups,), m // num_groups, jnp.int32)
     jax.block_until_ready((lhs, rhs))
     flops = 2.0 * m * k * n       # every row contracts with one expert
-    iters = max(iters, min(500, int(1.5e12 / max(flops, 1))))
+    iters = max(iters, min(500, int(6e12 / max(flops, 1))))
     try:
-        ceiling = detect_chip().peak_for(dtype) or None
+        # peak_for is FLOP/s; _tune_family compares GFLOP/s.
+        ceiling = (detect_chip().peak_for(dtype) or 0) / 1e9 or None
     except Exception:  # noqa: BLE001
         ceiling = None
 
-    raw = [(512, 1024, 1024), (512, 512, 1024), (256, 1024, 1024),
-           (512, 1024, 512), (512, 2048, 512), (256, 512, 2048)]
+    raw = [(512, 1024, 2048), (512, 2048, 1024), (512, 1024, 1024),
+           (512, 2048, 2048), (256, 1024, 1024), (512, 2048, 512),
+           (256, 512, 2048)]
     cands = []
     for bm, bn, bk in raw:
         e = {"block_m": min(bm, _bucket(m)), "block_n": min(bn, n),

@@ -256,3 +256,134 @@ def test_matmul_adopts_cached_winner(tmp_path, monkeypatch):
     out = mm.matmul(jnp.asarray(a), jnp.asarray(b))
     verify_matmul(np.asarray(out), reference_matmul(a, b))
     assert seen["blocks"] == (64, 128, 128)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-family buckets (flash / quantized / grouped)
+# ---------------------------------------------------------------------------
+
+
+def test_family_key_and_cached_entry(tmp_path):
+    import json
+
+    from gemm_hls_tpu.models.perf_model import detect_chip
+    from gemm_hls_tpu.tools import autotune as at
+
+    chip = detect_chip().name
+    cache = tmp_path / "fam.json"
+    key = at._key_family(chip, "flash", "bfloat16", (32, 1000, 1000, 128),
+                         "causal")
+    # Dims bucket to powers of two.
+    assert key == f"{chip}/flash/bfloat16/32x1024x1024x128/causal"
+    cache.write_text(json.dumps(
+        {key: {"block_q": 1024, "block_kv": 1024, "gflops": 1.0}}))
+    e = at.cached_family_entry("flash", (32, 1000, 1000, 128),
+                               dtype="bfloat16", tag="causal",
+                               cache_path=str(cache))
+    assert e["block_q"] == 1024
+    assert at.cached_family_entry("flash", (32, 1000, 1000, 128),
+                                  dtype="bfloat16", tag="full",
+                                  cache_path=str(cache)) is None
+
+
+def test_tune_family_picks_fastest_and_caches(tmp_path):
+    from gemm_hls_tpu.tools import autotune as at
+
+    cache = tmp_path / "fam.json"
+    times = {1: 0.2, 2: 0.1, 3: 0.5}
+
+    def measure(entry):
+        return times[entry["block_q"]]
+
+    cands = [{"block_q": q} for q in (1, 2, 3)]
+    e = at._tune_family("flash", (8, 64, 64, 16), "bfloat16", "full",
+                        cands, measure, flops=1e9, ceiling=None,
+                        cache_path=str(cache), rounds=3, force=False,
+                        verbose=False)
+    assert e["block_q"] == 2
+    # Second call hits the cache (measure would KeyError on block_q=9).
+    e2 = at._tune_family("flash", (8, 64, 64, 16), "bfloat16", "full",
+                         [{"block_q": 9}], lambda e: times[e["block_q"]],
+                         flops=1e9, ceiling=None, cache_path=str(cache),
+                         rounds=3, force=False, verbose=False)
+    assert e2["block_q"] == 2
+
+
+def test_tune_family_ceiling_drops_impossible(tmp_path):
+    from gemm_hls_tpu.tools import autotune as at
+
+    cache = tmp_path / "fam.json"
+    # Candidate 1 reads impossibly fast (above ceiling) every time ->
+    # dropped; candidate 2 wins despite being slower.
+    def measure(entry):
+        return {1: 1e-6, 2: 1e-1}[entry["block_q"]]  # 1e6 vs 10 GFLOP/s
+
+    e = at._tune_family("flash", (8, 64, 64, 16), "bfloat16", "full",
+                        [{"block_q": 1}, {"block_q": 2}], measure,
+                        flops=1e9, ceiling=100.0,   # GFLOP/s
+                        cache_path=str(cache), rounds=2, force=False,
+                        verbose=False)
+    assert e["block_q"] == 2
+
+
+def test_flash_dispatch_adopts_cached_blocks(tmp_path, monkeypatch):
+    """flash_attention with no blocks must adopt the family winner."""
+    import json
+
+    import jax.numpy as jnp
+
+    from gemm_hls_tpu.models.perf_model import detect_chip
+    from gemm_hls_tpu.ops import pallas_flash as pf
+    from gemm_hls_tpu.ops.attention import flash_attention
+    from gemm_hls_tpu.tools import autotune as at
+
+    chip = detect_chip().name
+    cache = tmp_path / "fam.json"
+    key = f"{chip}/flash/float32/8x128x128x32/full"
+    cache.write_text(json.dumps(
+        {key: {"block_q": 64, "block_kv": 32, "gflops": 1.0}}))
+    monkeypatch.setattr(at, "DEFAULT_CACHE", str(cache))
+
+    seen = {}
+    real = pf.flash_mha_diff
+
+    def spy(qs, k, v, qseg, kvseg, cfg, causal, bq, bkv, *a, **kw):
+        seen["blocks"] = (bq, bkv)
+        return real(qs, k, v, qseg, kvseg, cfg, causal, bq, bkv, *a, **kw)
+
+    monkeypatch.setattr("gemm_hls_tpu.ops.attention.flash_mha_diff", spy,
+                        raising=False)
+    import gemm_hls_tpu.ops.attention as attn_mod
+    monkeypatch.setattr(pf, "flash_mha_diff", spy)
+
+    q = jnp.ones((8, 128, 32), jnp.float32) * 0.1
+    out = flash_attention(q, q, q, interpret=True)
+    assert out.shape == q.shape
+    assert seen["blocks"] == (64, 32)
+
+
+def test_quant_dispatch_adopts_cached_blocks(tmp_path, monkeypatch):
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gemm_hls_tpu.models.perf_model import detect_chip
+    from gemm_hls_tpu.ops.quant import matmul_quantized, quantize_weights
+    from gemm_hls_tpu.tools import autotune as at
+
+    chip = detect_chip().name
+    cache = tmp_path / "fam.json"
+    key = f"{chip}/dequant8/float32/32x256x256/chan"
+    cache.write_text(json.dumps({key: {
+        "block_m": 32, "block_n": 128, "block_k": 128, "gflops": 1.0}}))
+    monkeypatch.setattr(at, "DEFAULT_CACHE", str(cache))
+
+    rng = np.random.default_rng(5)
+    w = (rng.standard_normal((256, 256)) / 16).astype(np.float32)
+    wq, s = quantize_weights(w, bits=8)
+    x = jnp.asarray(rng.standard_normal((32, 256)), jnp.float32)
+    y = np.asarray(matmul_quantized(x, jnp.asarray(wq), jnp.asarray(s),
+                                    bits=8, interpret=True))
+    ref = np.asarray(x) @ w
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 0.02

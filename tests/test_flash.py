@@ -516,3 +516,143 @@ def test_flash_rejects_mixed_dtypes():
     kf = jnp.zeros((1, 32, 128), jnp.float32)
     with pytest.raises(ValueError, match="dtype"):
         flash_attention(q, kf, kf, interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Position offsets (the ring-attention enabler): flash_mha's dynamic
+# (q_offset, kv_offset) pair shifts the causal/window masks to absolute
+# positions.
+# ---------------------------------------------------------------------------
+
+
+def _ref_offsets(q, k, v, q0, kv0, window=None):
+    q64 = np.asarray(q, np.float64)
+    k64 = np.asarray(k, np.float64)
+    v64 = np.asarray(v, np.float64)
+    s = q64 @ k64.transpose(0, 2, 1)        # scale pre-folded by caller
+    qpos = q0 + np.arange(q.shape[1])[:, None]
+    kpos = kv0 + np.arange(k.shape[1])[None, :]
+    mask = (kpos <= qpos)[None]
+    if window is not None:
+        mask = mask & (kpos > qpos - window)[None]
+    mx = np.where(mask, s, -np.inf).max(-1, keepdims=True, initial=-np.inf)
+    p = np.where(mask, np.exp(s - np.where(np.isfinite(mx), mx, 0.0)), 0.0)
+    den = p.sum(-1, keepdims=True)
+    return np.where(den == 0, 0.0,
+                    p / np.where(den == 0, 1, den)) @ v64
+
+
+@pytest.mark.parametrize("window", [None, 24])
+def test_flash_offsets_forward(window):
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.pallas_flash import flash_mha
+
+    cfg = default_config("float32").replace(out_dtype="float32")
+    b, s, d = 2, 128, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32) * 0.2
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32) * 0.2
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    # q = the SECOND block of a global sequence, kv = the first: every
+    # pair is "past" unless the window cuts it.
+    out = flash_mha(q, k, v, offsets=jnp.asarray([s, 0]), cfg=cfg,
+                    causal=True, window=window, block_q=32, block_kv=32,
+                    interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _ref_offsets(q, k, v, s, 0, window),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_flash_offsets_zero_matches_plain_causal():
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.pallas_flash import flash_mha
+
+    cfg = default_config("float32").replace(out_dtype="float32")
+    b, s, d = 1, 96, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32) * 0.2
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32) * 0.2
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    a = flash_mha(q, k, v, offsets=jnp.asarray([0, 0]), cfg=cfg,
+                  causal=True, block_q=32, block_kv=32, interpret=True)
+    bb = flash_mha(q, k, v, cfg=cfg, causal=True, block_q=32,
+                   block_kv=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_flash_offsets_fully_future_shard_is_skipped_partial():
+    """kv wholly in the future -> o = 0 and lse = -inf (the ring's
+    'skipped step' convention), with no nans anywhere."""
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.pallas_flash import flash_mha
+
+    cfg = default_config("float32").replace(out_dtype="float32")
+    b, s, d = 1, 64, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    o, lse = flash_mha(q, q, q, offsets=jnp.asarray([0, s]), cfg=cfg,
+                       causal=True, block_q=32, block_kv=32,
+                       interpret=True, save_lse=True)
+    assert np.abs(np.asarray(o)).max() == 0.0
+    assert bool(np.all(np.asarray(lse) == -np.inf))
+
+
+def test_flash_offsets_bwd_matches_autodiff():
+    """The bwd kernels' offsets path vs XLA autodiff on the same mask."""
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.pallas_flash import (
+        flash_mha, flash_mha_bwd_dq, flash_mha_bwd_dkv,
+    )
+
+    cfg = default_config("float32").replace(out_dtype="float32")
+    b, s, d = 1, 64, 16
+    # window > q_span so no q row is GLOBALLY dead: the bwd kernels take
+    # the forward's global lse, which the ring guarantees finite (the
+    # diagonal shard is always live); lse = -inf rows are a forward-only
+    # state (test_flash_offsets_fully_future_shard_is_skipped_partial).
+    q0, kv0, window = s, 0, 80
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32) * 0.3
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32) * 0.3
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    do = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    offs = jnp.asarray([q0, kv0])
+
+    o, lse = flash_mha(q, k, v, offsets=offs, cfg=cfg, causal=True,
+                       window=window, block_q=16, block_kv=16,
+                       interpret=True, save_lse=True)
+    delta = jnp.sum(do * o.astype(jnp.float32), axis=-1, keepdims=True)
+    dq = flash_mha_bwd_dq(q, k, v, do, lse, delta, None, None, offs,
+                          cfg=cfg, causal=True, window=window,
+                          block_q=16, block_kv=16, interpret=True)
+    dk, dv = flash_mha_bwd_dkv(q, k, v, do, lse, delta, None, None, offs,
+                               cfg=cfg, causal=True, window=window,
+                               block_q=16, block_kv=16, interpret=True)
+
+    def ref_loss(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k)
+        qpos = q0 + jnp.arange(s)[:, None]
+        kpos = kv0 + jnp.arange(s)[None, :]
+        mask = (kpos <= qpos) & (kpos > qpos - window)
+        p = jax.nn.softmax(jnp.where(mask, sc, -jnp.inf), axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v) * do)
+
+    rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
+                               rtol=1e-3, atol=1e-5, err_msg="dq")
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
+                               rtol=1e-3, atol=1e-5, err_msg="dk")
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
+                               rtol=1e-3, atol=1e-5, err_msg="dv")
+
+
+def test_flash_offsets_rejections():
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.pallas_flash import flash_mha
+
+    cfg = default_config("float32")
+    q = jnp.zeros((1, 32, 32), jnp.float32)
+    with pytest.raises(ValueError, match="causal"):
+        flash_mha(q, q, q, offsets=jnp.asarray([0, 0]), cfg=cfg,
+                  interpret=True)
+    with pytest.raises(ValueError, match="kv_lengths"):
+        flash_mha(q, q, q, kv_lengths=jnp.asarray([32]),
+                  offsets=jnp.asarray([0, 0]), cfg=cfg, causal=True,
+                  interpret=True)

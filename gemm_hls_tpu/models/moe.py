@@ -50,11 +50,12 @@ class MoEConfig:
     # and mixing weights routing-unstable for no speed gain (tiny matmul).
     gemm: Optional[GemmConfig] = None
 
-    def gemm_cfg(self) -> GemmConfig:
-        if self.gemm is not None:
-            return self.gemm
-        return GemmConfig(dtype=self.dtype, out_dtype=self.dtype,
-                          block_m=256, block_n=256, block_k=256)
+    def gemm_cfg(self):
+        """Explicit GemmConfig, or None — the grouped kernel then adopts
+        the autotuned grouped-family winner for the actual (M, K, N, G)
+        bucket (``ops/grouped.py::_default_cfg``), falling back to the
+        GemmConfig defaults."""
+        return self.gemm
 
 
 def init_moe_params(key, cfg: MoEConfig):

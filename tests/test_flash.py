@@ -656,3 +656,41 @@ def test_flash_offsets_rejections():
         flash_mha(q, q, q, kv_lengths=jnp.asarray([32]),
                   offsets=jnp.asarray([0, 0]), cfg=cfg, causal=True,
                   interpret=True)
+
+
+def test_flash_decode_fast_path_matches_general():
+    """The s_q=1 head-packed decode fast path must equal the generic
+    (B*H, 1, D) packing bit-for-bit in math terms."""
+    nb, hq, hkv, d, cache = 2, 8, 2, 32, 128
+    q = jnp.asarray(RNG.uniform(-1, 1, (nb, 1, hq, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (nb, cache, hkv, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (nb, cache, hkv, d)), jnp.float32)
+    lens = jnp.asarray([100, 37], jnp.int32)
+    fast = flash_attention(q, k, v, causal=True, kv_lengths=lens,
+                           block_q=32, block_kv=32, interpret=True)
+    assert fast.shape == q.shape
+    # General-path oracle: per (batch, head) row against the valid
+    # cache prefix (q at the cache end attends every valid position).
+    for b in range(nb):
+        ln = int(lens[b])
+        for h in range(hq):
+            kv = np.asarray(k[b, :ln, h // (hq // hkv)])
+            vv = np.asarray(v[b, :ln, h // (hq // hkv)])
+            exp = _ref(np.asarray(q[b, :, h])[None], kv[None], vv[None])
+            np.testing.assert_allclose(np.asarray(fast[b, :, h])[None],
+                                       exp, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"b{b} h{h}")
+
+
+def test_flash_decode_fast_path_noncausal():
+    nb, hq, hkv, d, cache = 1, 4, 4, 16, 64
+    q = jnp.asarray(RNG.uniform(-1, 1, (nb, 1, hq, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (nb, cache, hkv, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (nb, cache, hkv, d)), jnp.float32)
+    out = flash_attention(q, k, v, block_q=16, block_kv=16,
+                          interpret=True)
+    for h in range(hq):
+        exp = _ref(np.asarray(q[0, :, h])[None], np.asarray(k[0, :, h])[None],
+                   np.asarray(v[0, :, h])[None])
+        np.testing.assert_allclose(np.asarray(out[0, :, h])[None], exp,
+                                   rtol=1e-4, atol=1e-5, err_msg=f"h{h}")

@@ -79,10 +79,14 @@ def main():
     if args.blocks:
         pairs = [tuple(map(int, p.split(":")))
                  for p in args.blocks.split(",")]
-    for bq, bkv in pairs:
-        impls[f"flash_{bq}x{bkv}"] = jax.jit(
-            lambda q, k, v, bq=bq, bkv=bkv: flash_attention(
-                q, k, v, causal=args.causal, block_q=bq, block_kv=bkv))
+    for blk in pairs:
+        bq, bkv = blk[0], blk[1]
+        bkvc = blk[2] if len(blk) > 2 else None
+        name = f"flash_{bq}x{bkv}" + (f"x{bkvc}" if bkvc else "")
+        impls[name] = jax.jit(
+            lambda q, k, v, bq=bq, bkv=bkv, bkvc=bkvc: flash_attention(
+                q, k, v, causal=args.causal, block_q=bq, block_kv=bkv,
+                block_kv_compute=bkvc))
 
     if args.grad:
         # Full training step: value + dq/dk/dv.  5 backward contractions

@@ -42,16 +42,24 @@ def main():
     samples = {name: [] for name in fns}
     for r in range(10):
         for name, fn in fns.items():
-            t = time_fn(fn, [(a, b)], iters=10)
-            gf = flops / t / 1e9
-            if gf < 197000:           # bf16 engine peak sanity
-                samples[name].append(gf)
+            # Above-ceiling readings are transport artifacts on the
+            # remote-attached chip: re-measure (the quant_bench.py
+            # protocol) instead of silently dropping the round.
+            for _ in range(3):
+                t = time_fn(fn, [(a, b)], iters=10)
+                gf = flops / t / 1e9
+                if gf < 197000:       # bf16 engine peak sanity
+                    samples[name].append(gf)
+                    break
         print(f"round {r}: " + "  ".join(
             f"{nm}={s[-1]:.0f}" if s else f"{nm}=?"
             for nm, s in samples.items()), flush=True)
 
     meds = {}
     for name, s in samples.items():
+        if not s:
+            print(f"{name}: no reliable readings (all above ceiling)")
+            return
         meds[name] = statistics.median(s)
         print(f"{name}: median {meds[name]:.0f} GF  "
               f"min {min(s):.0f} max {max(s):.0f} n={len(s)}")

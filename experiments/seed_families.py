@@ -16,9 +16,15 @@ SCRATCH = "/tmp/family_tune.json"
 
 
 def main():
+    import sys
+
     from gemm_hls_tpu.tools.autotune import (
         autotune_flash, autotune_grouped, autotune_quant,
     )
+
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
 
     jobs = []
     # Flash: the bench shape (B=32, S=1024, D=128) both tags — the
@@ -41,6 +47,8 @@ def main():
     jobs.append(("grouped", dict(m=2048, k=4096, n=4096, num_groups=16)))
 
     for fam, kw in jobs:
+        if only and fam != only:
+            continue
         print(f"== {fam} {kw}", flush=True)
         try:
             if fam == "flash":

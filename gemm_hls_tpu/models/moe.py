@@ -74,12 +74,17 @@ def init_moe_params(key, cfg: MoEConfig):
     }
 
 
-def route(x, router_w, num_experts: int, top_k: int):
+def route(x, router_w, num_experts: int, top_k: int, *,
+          return_probs: bool = False):
     """Top-k softmax routing.
 
     Returns (expert_ids, mix_weights) of shape (tokens, top_k); the mix
     weights are the softmax over the selected logits (normalized top-k,
     the Switch/Mixtral convention) and carry gradients to the router.
+    With ``return_probs`` the full-softmax router probabilities
+    (tokens, E) come back as a third value, so the load-balancing aux
+    loss reuses this routing pass instead of re-running the router GEMM
+    and top-k.
 
     No load balancing is applied here — under extended training a bare
     router can collapse all tokens onto one expert.  Add
@@ -89,7 +94,17 @@ def route(x, router_w, num_experts: int, top_k: int):
     logits = x.astype(jnp.float32) @ router_w
     top_logits, expert_ids = jax.lax.top_k(logits, top_k)
     mix = jax.nn.softmax(top_logits, axis=-1)
+    if return_probs:
+        return expert_ids, mix, jax.nn.softmax(logits, axis=-1)
     return expert_ids, mix
+
+
+def _balance_from(probs, expert_ids, num_experts: int, top_k: int):
+    """Switch aux loss from an existing routing pass (see ``route``)."""
+    hard = jax.nn.one_hot(expert_ids, num_experts).sum(1)   # (tokens, E)
+    f = hard.mean(0) / top_k
+    p = probs.mean(0)
+    return num_experts * jnp.sum(f * p)
 
 
 def load_balance_loss(x, router_w, num_experts: int, top_k: int):
@@ -97,14 +112,14 @@ def load_balance_loss(x, router_w, num_experts: int, top_k: int):
 
     ``f_e`` = fraction of slots routed to expert e (hard counts through
     the top-k), ``P_e`` = mean router probability for e (soft, carries
-    the gradient).  Minimized (→ 1.0) by uniform routing."""
-    logits = x.astype(jnp.float32) @ router_w
-    probs = jax.nn.softmax(logits, axis=-1)             # (tokens, E)
-    _, expert_ids = jax.lax.top_k(logits, top_k)
-    hard = jax.nn.one_hot(expert_ids, num_experts).sum(1)   # (tokens, E)
-    f = hard.mean(0) / top_k
-    p = probs.mean(0)
-    return num_experts * jnp.sum(f * p)
+    the gradient).  Minimized (→ 1.0) by uniform routing.
+
+    Standalone form (runs its own routing pass); inside a forward that
+    already routed, prefer ``moe_forward(..., with_aux=True)``, which
+    reuses the router GEMM and top-k."""
+    expert_ids, _, probs = route(x, router_w, num_experts, top_k,
+                                 return_probs=True)
+    return _balance_from(probs, expert_ids, num_experts, top_k)
 
 
 def _dispatch(x, expert_ids, num_experts: int):
@@ -154,14 +169,26 @@ def _local_expert_ffn(x, expert_ids, mix, w1_slab, w2_slab, lo, cfg,
 
 
 def moe_forward(params, x, cfg: MoEConfig,
-                activation=jax.nn.gelu, local_experts=None):
+                activation=jax.nn.gelu, local_experts=None,
+                with_aux: bool = False):
     """Single-device (or per-shard) MoE FFN: (tokens, d_model) -> same.
 
     ``local_experts`` = (lo, hi) restricts compute to experts in [lo, hi)
     — slots routed elsewhere get zero contribution (the expert-parallel
     shard's view; summed across shards by the caller's psum).
+
+    ``with_aux`` additionally returns the Switch load-balancing loss
+    computed from THIS routing pass (no second router GEMM / top-k):
+    returns (y, aux_loss).
     """
-    expert_ids, mix = route(x, params["router"], cfg.num_experts, cfg.top_k)
+    if with_aux:
+        expert_ids, mix, probs = route(x, params["router"],
+                                       cfg.num_experts, cfg.top_k,
+                                       return_probs=True)
+        aux = _balance_from(probs, expert_ids, cfg.num_experts, cfg.top_k)
+    else:
+        expert_ids, mix = route(x, params["router"], cfg.num_experts,
+                                cfg.top_k)
     w1, w2 = params["w1"], params["w2"]
     if local_experts is None:
         gemm_cfg = cfg.gemm_cfg()
@@ -171,11 +198,13 @@ def moe_forward(params, x, cfg: MoEConfig,
         ys = grouped_matmul(h, w2, group_sizes, gemm_cfg)
         y = jnp.take(ys, inv, axis=0).reshape(x.shape[0], cfg.top_k, -1)
         y = jnp.sum(y * mix[..., None].astype(y.dtype), axis=1)
-        return y.astype(x.dtype)
+        y = y.astype(x.dtype)
+        return (y, aux) if with_aux else y
     lo, hi = local_experts
     y = _local_expert_ffn(x, expert_ids, mix, w1[lo:hi], w2[lo:hi], lo,
                           cfg, activation)
-    return y.astype(x.dtype)
+    y = y.astype(x.dtype)
+    return (y, aux) if with_aux else y
 
 
 def moe_forward_ep(params, x, cfg: MoEConfig, mesh: Mesh, *,
@@ -239,14 +268,21 @@ def moe_forward_ep_a2a(params, x, cfg: MoEConfig, mesh: Mesh, *,
 
     Static shapes: the per-destination capacity is
     ``ceil(capacity_factor · B_loc · top_k / ep)`` (sublane-rounded).
-    Slots beyond a destination's capacity are DROPPED (contribute zero,
-    the standard Switch capacity semantics) — size ``capacity_factor``
-    for the expected routing skew; equivalence with ``moe_forward`` holds
-    when nothing drops.
+    Slots beyond a destination's capacity are DROPPED (contribute zero).
+    Note the capacity POOLS per destination *shard* — all ``per``
+    co-located experts share one buffer — a looser drop rule than
+    Switch's per-expert capacity: a shard drops only when its experts'
+    combined demand overflows, not when one expert alone is hot.  Size
+    ``capacity_factor`` for the expected routing skew; equivalence with
+    ``moe_forward`` holds when nothing drops.
     """
     ep = mesh.shape[ep_axis]
     if cfg.num_experts % ep:
         raise ValueError(f"num_experts {cfg.num_experts} % ep {ep} != 0")
+    if x.shape[0] % ep:
+        raise ValueError(
+            f"tokens {x.shape[0]} % ep {ep} != 0 — x is sharded over "
+            f"'{ep_axis}', so the token count must divide the ep size")
     per = cfg.num_experts // ep
     x_spec = P(ep_axis, None)
     w_spec = {"router": P(None, None), "w1": P(ep_axis, None, None),
@@ -318,11 +354,15 @@ def moe_forward_ep_a2a(params, x, cfg: MoEConfig, mesh: Mesh, *,
 
 def moe_loss(params, batch, cfg: MoEConfig, aux_weight: float = 0.0):
     x, y = batch
-    out = moe_forward(params, x, cfg)
+    if aux_weight:
+        # Aux loss reuses the forward's routing pass (one router GEMM,
+        # one top-k) instead of re-routing inside load_balance_loss.
+        out, aux = moe_forward(params, x, cfg, with_aux=True)
+    else:
+        out = moe_forward(params, x, cfg)
     mse = jnp.mean((out.astype(jnp.float32) - y.astype(jnp.float32)) ** 2)
     if aux_weight:
-        mse = mse + aux_weight * load_balance_loss(
-            x, params["router"], cfg.num_experts, cfg.top_k)
+        mse = mse + aux_weight * aux
     return mse
 
 

@@ -99,6 +99,7 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
                     config: Optional[GemmConfig] = None,
                     block_q: Optional[int] = None,
                     block_kv: Optional[int] = None,
+                    block_kv_compute: Optional[int] = None,
                     interpret: Optional[bool] = None):
     """Per-head attention in ONE kernel: softmax(q·kᵀ·scale)·v with the
     probability matrix never leaving VMEM (online softmax over streamed
@@ -197,10 +198,11 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         raise ValueError(f"flash_attention expects (B, S, D) or "
                          f"(batch, S, H, D), got {q.shape}")
     if block_q is None or block_kv is None:
-        # Autotuned (block_q, block_kv) for this shape bucket, if a
-        # measured winner is cached (user cache or the packaged seed) —
-        # kills the documented fixed-default cliffs (e.g. S=1024 under
-        # block_kv=2048 defaults).  Miss -> the kernel's defaults.
+        # Autotuned (block_q, block_kv[, block_kv_compute]) for this
+        # shape bucket, if a measured winner is cached (user cache or
+        # the packaged seed) — kills the documented fixed-default
+        # cliffs (e.g. S=1024 under block_kv=2048 defaults).  Miss ->
+        # the kernel's defaults.
         from gemm_hls_tpu.tools.autotune import cached_family_entry
 
         e = cached_family_entry(
@@ -208,6 +210,8 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
             dtype=str(q.dtype), tag="causal" if causal else "full")
         block_q = block_q or (e or {}).get("block_q", 512)
         block_kv = block_kv or (e or {}).get("block_kv", 2048)
+        if block_kv_compute is None:
+            block_kv_compute = (e or {}).get("block_kv_compute")
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
@@ -225,6 +229,7 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         out = flash_mha(qs, k, v, jnp.asarray(kv_lengths),
                         q_segment_ids, kv_segment_ids, cfg=cfg,
                         causal=causal, block_q=block_q, block_kv=block_kv,
+                        block_kv_compute=block_kv_compute,
                         interpret=_resolve_interpret(cfg), window=window,
                         logit_cap=logit_cap)
     else:
@@ -232,7 +237,8 @@ def flash_attention(q, k, v, *, scale: Optional[float] = None,
         # (dq/dk/dv recomputed blockwise from the saved log-sum-exp).
         out = flash_mha_diff(qs, k, v, q_segment_ids, kv_segment_ids,
                              cfg, causal, block_q, block_kv,
-                             _resolve_interpret(cfg), window, logit_cap)
+                             _resolve_interpret(cfg), window, logit_cap,
+                             block_kv_compute)
     if four_d:
         if decode_fast:
             # (nb*hkv, group, d) rows ARE the q heads of one token.

@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,6 +45,18 @@ from gemm_hls_tpu.ops.pallas_mxu import _resolve_precision
 # exp(x - m) underflows to 0 against any real score, small enough that
 # (mask - mask) = 0 stays exact (no nan) if a row is ever fully masked.
 _MASK = -0.7 * jnp.finfo(jnp.float32).max
+
+
+def _lane_expand(x, w):
+    """(bq, 128) lane-replicated carry -> (bq, w), by lane-tiling when
+    possible.  Never materialize a (bq, 1) intermediate: a lane-1
+    vector forces Mosaic relayouts (lane slice + splat) that measured
+    ~25% of a whole flash step at block 1024²."""
+    if w == 128:
+        return x
+    if w % 128 == 0:
+        return jnp.tile(x, (1, w // 128))
+    return jnp.broadcast_to(x[:, :1], (x.shape[0], w))
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
@@ -172,7 +185,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
         if valid is not None:
             s = jnp.where(valid, s, _MASK)
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)      # (block_q, 1)
+        d_out = o_ref.shape[-1]
 
         def guard_p(p):
             # Segment masking can fully mask a block row (its segment
@@ -185,9 +198,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
                 return jnp.where(valid, p, 0.0)
             return p
 
+        # m/l carries stay (block_q, 128) lane-replicated end to end —
+        # (block_q, 1) intermediates force Mosaic lane relayouts that
+        # measured ~25% of the whole step (see _flash_kernel_tri).
         if n_kv_grid == 1:
-            p = guard_p(jnp.exp(s - m_cur))
-            l = jnp.sum(p, axis=-1, keepdims=True)
+            m128 = jax.lax.broadcast_in_dim(
+                jnp.max(s, axis=-1), (s.shape[0], 128), (0,))
+            p = guard_p(jnp.exp(s - _lane_expand(m128, s.shape[1])))
+            l128 = jax.lax.broadcast_in_dim(
+                jnp.sum(p, axis=-1), m128.shape, (0,))
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -195,24 +214,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
             # A fully-masked row (possible under segment ids, or a
             # window'd ring shard) has l = 0: emit o = 0, lse = -inf
             # (the "no contribution" partial) instead of 0/0 = nan.
-            o_ref[0] = (pv / jnp.where(l == 0, 1.0, l)).astype(out_dtype)
+            l_g = jnp.where(l128 == 0, 1.0, l128)
+            o_ref[0] = (pv / _lane_expand(l_g, d_out)).astype(out_dtype)
             if save_lse:
-                lse_ref[0] = m_cur + jnp.log(l)
+                lse_ref[0] = (m128 + jnp.log(l128))[:, :1]
             return
 
-        m_prev = m_ref[:][:, :1]
-        l_prev = l_ref[:][:, :1]
+        m_prev = m_ref[:]                               # (block_q, 128)
+        l_prev = l_ref[:]
+        m_cur = jnp.max(s, axis=-1)[:, None]
         m_new = jnp.maximum(m_prev, m_cur)
-        p = guard_p(jnp.exp(s - m_new))
-        corr = jnp.exp(m_prev - m_new)                  # (block_q, 1)
-        l_new = corr * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        p = guard_p(jnp.exp(s - _lane_expand(m_new, s.shape[1])))
+        corr = jnp.exp(m_prev - m_new)                  # (block_q, 128)
+        l_new = corr * l_prev + jax.lax.broadcast_in_dim(
+            jnp.sum(p, axis=-1), l_prev.shape, (0,))
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=precision)
-        acc_ref[:] = acc_ref[:] * corr + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        acc_ref[:] = acc_ref[:] * _lane_expand(corr, d_out) + pv
+        m_ref[:] = m_new
+        l_ref[:] = l_new
 
     if (causal or has_kvlen) and n_kv_grid > 1:
         @pl.when(live)
@@ -224,19 +246,221 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
     if n_kv_grid > 1:
         @pl.when(j == n_kv_grid - 1)
         def _store():
-            l_fin = l_ref[:][:, :1]
-            o_ref[0] = (acc_ref[:]
-                        / jnp.where(l_fin == 0, 1.0, l_fin)).astype(out_dtype)
+            l_fin = l_ref[:]
+            l_g = jnp.where(l_fin == 0, 1.0, l_fin)
+            o_ref[0] = (acc_ref[:] / _lane_expand(l_g, o_ref.shape[-1])
+                        ).astype(out_dtype)
             if save_lse:
-                lse_ref[0] = m_ref[:][:, :1] + jnp.log(l_fin)
+                lse_ref[0] = (m_ref[:] + jnp.log(l_fin))[:, :1]
+
+
+def _live_blocks(n_q, n_kv, block_q, block_kv, window):
+    """Boolean (n_q, n_kv) causal(∩window) block-liveness matrix.
+
+    Same tile-level predicate the rectangular kernel evaluates per step
+    (block j holds any kv position <= some q position of tile i, and —
+    with a sliding window — any position inside some row's window)."""
+    ii = np.arange(n_q, dtype=np.int64)[:, None]
+    jj = np.arange(n_kv, dtype=np.int64)[None, :]
+    live = jj * block_kv < (ii + 1) * block_q
+    if window is not None:
+        live &= (jj + 1) * block_kv > ii * block_q - window + 1
+    return live
+
+
+def _tri_tables(n_q, n_kv, block_q, block_kv, window, kv_rem=0, *,
+                order="qmajor"):
+    """Flattened live-step tables for the triangular causal grid.
+
+    Returns an int32 (3, T+1) array: row 0 = outer (stationary) tile
+    index per flat step, row 1 = inner (streamed) tile index, row 2 =
+    1 where the block straddles a mask edge (causal diagonal, window
+    tail, kv overhang) and needs in-block masking — interior blocks
+    skip the iota/compare/select VPU passes entirely, which at d=128
+    is a double-digit share of the per-block time.  Column T is a
+    sentinel outer index (n_outer) so the kernel's one-step lookahead
+    fires the row-end store at the true last step.  ``order`` =
+    "qmajor" (q tile stationary, kv streamed — forward / dq) or
+    "kvmajor" (kv tile stationary, q streamed — dkv)."""
+    live = _live_blocks(n_q, n_kv, block_q, block_kv, window)
+    ii = np.arange(n_q, dtype=np.int64)[:, None]
+    jj = np.arange(n_kv, dtype=np.int64)[None, :]
+    # Interior = every (q_pos, kv_pos) pair in the block is unmasked:
+    # kv_max <= q_min (fully past the diagonal) and — with a window —
+    # kv_min > q_max - window (fully inside every row's window).
+    interior = (jj + 1) * block_kv - 1 <= ii * block_q
+    if window is not None:
+        interior &= jj * block_kv > (ii + 1) * block_q - 1 - window
+    need = ~interior
+    if kv_rem:
+        need |= jj == n_kv - 1
+    if order == "qmajor":
+        outer, inner = np.nonzero(live)
+        flag = need[outer, inner]
+        n_outer = n_q
+    else:
+        outer, inner = np.nonzero(live.T)
+        flag = need[inner, outer]
+        n_outer = n_kv
+    t = len(outer)
+    tabs = np.empty((3, t + 1), np.int32)
+    tabs[0, :t] = outer
+    tabs[1, :t] = inner
+    tabs[2, :t] = flag
+    tabs[:, t] = (n_outer, 0, 0)
+    return tabs
+
+
+def _flash_kernel_tri(tab_ref, q_ref, k_ref, v_ref, *refs, n_kv_grid,
+                      s_kv, block_q, block_kv, bkv_compute, precision,
+                      out_dtype, window=None, logit_cap=None,
+                      has_segids=False, save_lse=False):
+    """Causal flash step on the FLATTENED live-block grid.
+
+    Grid = (batch·heads, T) where T = #live (q-tile, kv-tile) pairs of
+    the causal(∩window) block mask; the scalar-prefetched ``tab_ref``
+    (3, T+1) maps flat step t to its (i, j) and flags mask-edge blocks.
+    Dead KV blocks never enter the grid, so — unlike the rectangular
+    grid whose ``pl.when`` predication still schedules their DMA and
+    pays their grid latch — skipped work costs literally nothing.  The
+    reference expresses the same thing as loop *bounds* rather than a
+    masked full loop (``kernel/Compute.cpp:112-137``); here the bounds
+    are the table.
+
+    The second lever decouples DMA granularity from compute
+    granularity (the splash-attention ``bkv_compute`` idea): interior
+    blocks run one whole-(block_q, block_kv) unmasked pass at the
+    full-mask kernel's per-block rate, while edge blocks straddling the
+    diagonal / window tail / kv overhang run an unrolled sub-loop of
+    (block_q, bkv_compute) slices, each skipped entirely when fully
+    masked.  The triangular MXU waste drops from ~(block_q+block_kv)/2
+    to ~(block_q+bkv_compute)/2 padded rows per q tile without paying
+    small-block DMA or grid-latch costs.
+    """
+    if has_segids:
+        qseg_ref, kvseg_ref, *refs = refs
+    if save_lse:
+        o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        o_ref, acc_ref, m_ref, l_ref = refs
+        lse_ref = None
+    f32 = jnp.float32
+    t = pl.program_id(1)
+    i = tab_ref[0, t]
+    j = tab_ref[1, t]
+    # j resets per q row, so row start/end are table lookups, not j==0 /
+    # j==last: one-step lookback/lookahead against the sentinel column.
+    row_start = (t == 0) | (tab_ref[0, jnp.maximum(t - 1, 0)] != i)
+    row_end = tab_ref[0, t + 1] != i
+    edge = tab_ref[2, t] != 0
+
+    @pl.when(row_start)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _MASK)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                       # (block_q, d)
+    seg_q = qseg_ref[0] if has_segids else None     # (bq, 1)
+    d = q.shape[1]
+
+    def scores(k_sub):
+        s = jax.lax.dot_general(
+            q, k_sub, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=precision)
+        if logit_cap is not None:
+            s = logit_cap * jnp.tanh(s / logit_cap)
+        return s
+
+    expand = _lane_expand
+
+    def update(s, v, valid):
+        """Online-softmax accumulate of one (bq, W) score slab; m/l
+        stay (bq, 128) lane-replicated end to end (splash-attention's
+        shape discipline)."""
+        m_prev = m_ref[:]                              # (bq, 128)
+        l_prev = l_ref[:]
+        m_cur = jnp.max(s, axis=-1)[:, None]           # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)             # (bq, 128)
+        p = jnp.exp(s - expand(m_new, s.shape[1]))
+        if has_segids:
+            # A row whose segment is absent from every visited kv block
+            # keeps m = _MASK; exp(_MASK - _MASK) = 1 would corrupt
+            # l/acc and — unlike the plain window case — no later real
+            # score ever arrives to zero it out via the corr factor.
+            p = jnp.where(valid, p, 0.0)
+        corr = jnp.exp(m_prev - m_new)                 # (bq, 128)
+        l_new = corr * l_prev + jax.lax.broadcast_in_dim(
+            jnp.sum(p, axis=-1), l_prev.shape, (0,))
+        pv = jax.lax.dot_general(
+            p, v.astype(f32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision)
+        acc_ref[:] = acc_ref[:] * expand(corr, d) + pv
+        m_ref[:] = m_new
+        l_ref[:] = l_new
+
+    @pl.when(edge)
+    def _edge_step():
+        # Unrolled (block_q, bkv_compute) sub-slices: fully-masked subs
+        # are skipped (no MXU/VPU work at all); live subs mask at fine
+        # granularity, so the diagonal's dead-MAC waste shrinks by
+        # block_kv/bkv_compute while DMA stays whole-block.
+        for sub in range(block_kv // bkv_compute):
+            lo = sub * bkv_compute
+            kv_start = j * block_kv + lo
+            live = kv_start < (i + 1) * block_q
+            live &= kv_start < s_kv
+            if window is not None:
+                live &= kv_start + bkv_compute > i * block_q - window + 1
+
+            @pl.when(live)
+            def _(lo=lo, kv_start=kv_start):
+                v = v_ref[0, lo:lo + bkv_compute, :]
+                s = scores(k_ref[0, lo:lo + bkv_compute, :])
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                q_pos = i * block_q + row
+                kv_pos = kv_start + col
+                valid = kv_pos <= q_pos
+                if s_kv % block_kv:
+                    valid &= kv_pos < s_kv
+                    ridx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+                    v = jnp.where(ridx < s_kv - kv_start, v,
+                                  jnp.zeros((), v.dtype))
+                if window is not None:
+                    valid &= kv_pos > q_pos - window
+                if has_segids:
+                    valid &= seg_q == kvseg_ref[0, :, lo:lo + bkv_compute]
+                update(jnp.where(valid, s, _MASK), v, valid)
+
+    @pl.when(jnp.logical_not(edge))
+    def _interior_step():
+        # One whole-block unmasked pass: no iota/compare/select VPU
+        # work, one online-softmax carry per block_kv columns.
+        if has_segids:
+            seg_ok = seg_q == kvseg_ref[0]
+            update(jnp.where(seg_ok, scores(k_ref[0]), _MASK),
+                   v_ref[0], seg_ok)
+        else:
+            update(scores(k_ref[0]), v_ref[0], None)
+
+    @pl.when(row_end)
+    def _store():
+        l_fin = l_ref[:]                               # (bq, 128)
+        l_g = jnp.where(l_fin == 0, 1.0, l_fin)
+        o_ref[0] = (acc_ref[:] / expand(l_g, d)).astype(out_dtype)
+        if save_lse:
+            lse_ref[0] = m_ref[:][:, :1] + jnp.log(l_fin[:, :1])
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "causal", "block_q", "block_kv", "interpret", "window",
-    "logit_cap", "save_lse"))
+    "cfg", "causal", "block_q", "block_kv", "block_kv_compute",
+    "interpret", "window", "logit_cap", "save_lse"))
 def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
               kv_segment_ids=None, offsets=None, *, cfg: GemmConfig,
-              causal=False, block_q=512, block_kv=2048, interpret=False,
+              causal=False, block_q=512, block_kv=2048,
+              block_kv_compute=None, interpret=False,
               window=None, logit_cap=None, save_lse=False):
     """Fused attention o = softmax(q·kᵀ)·v per head, streaming KV.
 
@@ -313,6 +537,90 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
         # sublane-major (bq, 1), kv ids lane-major (1, bkv).
         q_segment_ids = q_segment_ids.astype(jnp.int32)[..., None]
         kv_segment_ids = kv_segment_ids.astype(jnp.int32)[:, None, :]
+
+    # Static causal (± window/segids) with streamed KV: flatten the live
+    # (q-tile, kv-tile) pairs into one grid axis via scalar prefetch, so
+    # dead blocks are never DMA'd or latched (vs ~2x their cost under the
+    # rectangular grid's pl.when predication).  kv_lengths / offsets make
+    # the live set value-dependent and keep the rectangular grid.
+    if causal and not has_kvlen and not has_offsets:
+        bkvc = min(block_kv_compute or 512, block_kv)
+        while block_kv % bkvc:     # largest divisor <= the request
+            bkvc -= 1
+        tabs = _tri_tables(n_q, n_kv, block_q, block_kv, window,
+                           s_kv % block_kv)
+        n_t = tabs.shape[1] - 1
+        kernel = functools.partial(
+            _flash_kernel_tri,
+            n_kv_grid=n_kv,
+            s_kv=s_kv,
+            block_q=block_q,
+            block_kv=block_kv,
+            bkv_compute=bkvc,
+            precision=_resolve_precision(cfg),
+            out_dtype=cfg.jout_dtype,
+            window=window,
+            logit_cap=logit_cap,
+            has_segids=has_segids,
+            save_lse=save_lse,
+        )
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=cfg.vmem_limit_bytes,
+            )
+            kwargs["cost_estimate"] = pl.CostEstimate(
+                flops=4 * bsz * n_t * block_q * block_kv * d,
+                bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+                + q.size * jnp.dtype(cfg.jout_dtype).itemsize,
+                transcendentals=bsz * n_t * block_q * block_kv,
+            )
+        qi = lambda b, t, tab: (b, tab[0, t], 0)                # noqa: E731
+        kvi = lambda b, t, tab, g=group: (b // g, tab[1, t], 0)  # noqa: E731
+        out_specs = pl.BlockSpec((1, block_q, d), qi,
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((bsz, s_q, d), cfg.jout_dtype)
+        if save_lse:
+            out_specs = (out_specs,
+                         pl.BlockSpec((1, block_q, 1), qi,
+                                      memory_space=pltpu.VMEM))
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((bsz, s_q, 1), jnp.float32))
+        in_specs = [
+            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM),
+        ]
+        operands = [q, k, v]
+        if has_segids:
+            in_specs.append(pl.BlockSpec((1, block_q, 1), qi,
+                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(
+                (1, 1, block_kv),
+                lambda b, t, tab, g=group: (b // g, 0, tab[1, t]),
+                memory_space=pltpu.VMEM))
+            operands.extend((q_segment_ids, kv_segment_ids))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, n_t),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            name=f"flash_mha_tri_{block_q}x{block_kv}x{d}",
+            **kwargs,
+        )(jnp.asarray(tabs), *operands)
+
     kernel = functools.partial(
         _flash_kernel,
         n_kv_grid=n_kv,
@@ -797,27 +1105,33 @@ def _seg3(q_seg, kv_seg):
             kv_seg.astype(jnp.int32)[:, None, :])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def flash_mha_diff(qs, k, v, q_seg, kv_seg, cfg: GemmConfig, causal,
                    block_q, block_kv, interpret, window=None,
-                   logit_cap=None):
+                   logit_cap=None, block_kv_compute=None):
     return flash_mha(qs, k, v, None, q_seg, kv_seg, cfg=cfg,
                      causal=causal, block_q=block_q,
-                     block_kv=block_kv, interpret=interpret,
+                     block_kv=block_kv,
+                     block_kv_compute=block_kv_compute,
+                     interpret=interpret,
                      window=window, logit_cap=logit_cap)
 
 
 def _flash_diff_fwd(qs, k, v, q_seg, kv_seg, cfg, causal, block_q,
-                    block_kv, interpret, window=None, logit_cap=None):
+                    block_kv, interpret, window=None, logit_cap=None,
+                    block_kv_compute=None):
     o, lse = flash_mha(qs, k, v, None, q_seg, kv_seg, cfg=cfg,
                        causal=causal, block_q=block_q,
-                       block_kv=block_kv, interpret=interpret,
+                       block_kv=block_kv,
+                       block_kv_compute=block_kv_compute,
+                       interpret=interpret,
                        window=window, logit_cap=logit_cap, save_lse=True)
     return o, (qs, k, v, o, lse, q_seg, kv_seg)
 
 
 def _flash_diff_bwd(cfg, causal, block_q, block_kv, interpret, window,
-                    logit_cap, res, do):
+                    logit_cap, block_kv_compute, res, do):
     qs, k, v, o, lse, q_seg, kv_seg = res
     qseg3, kvseg3 = _seg3(q_seg, kv_seg)
     # Softmax-Jacobian row term Δ = Σ_d do ⊙ o, in f32 (one cheap

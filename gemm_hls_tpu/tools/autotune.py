@@ -397,15 +397,48 @@ def _key_family(chip: str, family: str, dtype: str, dims, tag: str = ""):
     return f"{base}/{tag}" if tag else base
 
 
+def _family_pad_ratio(family: str, dims, e: dict) -> float:
+    """Padded-work ratio when this winner's blocks run the ACTUAL dims.
+
+    Winners are keyed by power-of-two bucket, so an off-bucket shape can
+    pad pathologically under a big cached block (e.g. K=4100 bucketed to
+    8192 under block_k=4096 doubles the work) — the same guard
+    :func:`cached_config` applies to the dense buckets."""
+    def r(x, b):
+        x, b = int(x), int(b)
+        if b <= 0 or x <= 0:
+            return 1.0
+        return math.ceil(x / b) * b / x
+
+    if family == "flash":
+        _, s_q, s_kv, _ = (int(v) for v in dims)
+        return (r(s_q, min(e.get("block_q", 512), s_q))
+                * r(s_kv, min(e.get("block_kv", 2048), s_kv)))
+    if family in ("w8a8", "dequant4", "dequant8"):
+        m, n, k = (int(v) for v in dims)
+    elif family == "grouped":
+        m, k, n = (int(v) for v in dims[:3])
+    else:
+        return 1.0
+    return (r(m, e.get("block_m", 512)) * r(n, e.get("block_n", 1024))
+            * r(k, e.get("block_k", 2048)))
+
+
 def cached_family_entry(family: str, dims, *, dtype: str, tag: str = "",
                         cache_path: Optional[str] = None) -> Optional[dict]:
     """Cached winner dict for a kernel family, or None — never measures.
 
     Families in use: ``flash`` (dims = (B, S_q, S_kv, D), tag
-    "causal"/"full", entry keys block_q/block_kv), ``w8a8`` /
-    ``dequant4`` / ``dequant8`` (dims = (M, N, K), entry keys
+    "causal"/"full", entry keys block_q/block_kv[/block_kv_compute]),
+    ``w8a8`` / ``dequant4`` / ``dequant8`` (dims = (M, N, K), entry keys
     block_m/n/k), ``grouped`` (dims = (M, K, N, G), entry keys
-    block_m/n/k)."""
+    block_m/n/k).
+
+    A winner whose blocks would pad the actual shape by more than 1.3x
+    (off-bucket shapes under big cached blocks) is rejected, so the
+    dispatchers fall back to their built-in defaults — the same
+    padded-work guard the dense path applies in :func:`cached_config`.
+    """
     from gemm_hls_tpu.models.perf_model import detect_chip
 
     if cache_path is None:
@@ -413,7 +446,7 @@ def cached_family_entry(family: str, dims, *, dtype: str, tag: str = "",
     key = _key_family(detect_chip().name, family, dtype, dims, tag)
     for path in (cache_path, SEED_CACHE):
         e = _load_memoized(path).get(key)
-        if e is not None:
+        if e is not None and _family_pad_ratio(family, dims, e) <= 1.3:
             return e
     return None
 
@@ -448,6 +481,9 @@ def _tune_family(family: str, dims, dtype: str, tag: str, candidates,
                     retries -= 1
             except Exception as e:  # noqa: BLE001 — infeasible candidate
                 status = f"fail:{type(e).__name__}"
+                # Discard earlier rounds too: an intermittently-failing
+                # candidate must not win on a lucky partial median.
+                samples = []
                 break
             if ceiling and flops / secs / 1e9 > ceiling:
                 status = "unreliable_timing"
@@ -497,19 +533,33 @@ def autotune_flash(bsz: int, s_q: int, s_kv: int, d: int, *,
     except Exception:  # noqa: BLE001
         ceiling = None
 
-    raw = [(512, 2048), (512, 1024), (1024, 1024), (256, 2048),
-           (1024, 2048), (512, 512), (256, 1024), (2048, 512)]
+    # (block_q, block_kv, block_kv_compute): bkv_compute only matters on
+    # the causal path (edge-block sub-granularity in the triangular
+    # kernel); the full-mask kernel ignores it.
+    if causal:
+        raw = [(512, 1024, 512), (512, 2048, 512), (512, 512, 512),
+               (1024, 1024, 512), (1024, 2048, 512), (512, 2048, 1024),
+               (256, 1024, 256), (512, 1024, 256)]
+    else:
+        raw = [(512, 2048, None), (512, 1024, None), (1024, 1024, None),
+               (256, 2048, None), (1024, 2048, None), (512, 512, None),
+               (256, 1024, None), (2048, 512, None)]
     cands, seen = [], set()
-    for bq, bkv in raw:
+    for bq, bkv, bkvc in raw:
         bq, bkv = min(bq, s_q), min(bkv, s_kv)
-        if (bq, bkv) not in seen:
-            seen.add((bq, bkv))
-            cands.append({"block_q": bq, "block_kv": bkv})
+        bkvc = min(bkvc, bkv) if bkvc else None
+        if (bq, bkv, bkvc) not in seen:
+            seen.add((bq, bkv, bkvc))
+            e = {"block_q": bq, "block_kv": bkv}
+            if bkvc:
+                e["block_kv_compute"] = bkvc
+            cands.append(e)
 
     def measure(entry):
         fn = jax.jit(lambda q, k, v, e=entry: flash_attention(
             q, k, v, causal=causal, block_q=e["block_q"],
-            block_kv=e["block_kv"]))
+            block_kv=e["block_kv"],
+            block_kv_compute=e.get("block_kv_compute")))
         return time_fn(fn, [(q, k, v)], iters=iters, warmup=1)
 
     return _tune_family("flash", (bsz, s_q, s_kv, d), dtype,
@@ -648,7 +698,83 @@ def autotune_grouped(m: int, k: int, n: int, num_groups: int, *,
                         rounds, force, verbose)
 
 
+# ---------------------------------------------------------------------------
+# Cross-chip seed priors: the packaged seed is measured on v5e only; a
+# first run on v5p/v6e would otherwise probe everything from scratch.
+# Derive default winners for unmeasured chips from the v5e entries — block
+# geometry transfers (same 128x128 MXU, 8x128 VPU lanes, ~equal VMEM
+# budgets across v5e/v5p/v6e), while the recorded gflops is rescaled by
+# the target chip's engine-peak ratio so perf-model consumers see a
+# plausible prior.  Entries carry ``derived: true`` and are overwritten
+# the moment a measured winner lands in the user cache (which is
+# consulted first) or the seed is re-captured on real hardware.
+# ---------------------------------------------------------------------------
+
+_FAMILY_NAMES = ("flash", "w8a8", "dequant4", "dequant8", "grouped")
+
+
+def _seed_key_dtype(key: str) -> Optional[str]:
+    """The dtype component of any seed-cache key (dense, batched, or
+    family-prefixed), or None if the key doesn't parse."""
+    parts = key.split("/")
+    if len(parts) < 3:
+        return None
+    return parts[2] if parts[1] in _FAMILY_NAMES else parts[1]
+
+
+def derive_seed_priors(seed: dict, donor: str = "v5e",
+                       targets=("v5p", "v6e")) -> dict:
+    """Return ``seed`` plus derived entries for each target chip.
+
+    Every ``{donor}/...`` entry spawns a ``{target}/...`` twin (only
+    where the target has no measured entry already): identical blocks,
+    ``derived: true``, gflops scaled by the target/donor engine-peak
+    ratio for the entry's dtype.  Never mutates measured entries.
+    """
+    from gemm_hls_tpu.models.perf_model import get_chip
+
+    out = dict(seed)
+    donor_chip = get_chip(donor)
+    for target in targets:
+        tchip = get_chip(target)
+        for key, e in seed.items():
+            if not key.startswith(donor + "/") or e.get("derived"):
+                continue
+            tkey = target + key[len(donor):]
+            if tkey in out:
+                continue  # measured target entry wins
+            te = dict(e)
+            te["derived"] = True
+            dt = _seed_key_dtype(key)
+            if "gflops" in te and dt:
+                try:
+                    ratio = tchip.peak_for(dt) / donor_chip.peak_for(dt)
+                    te["gflops"] = round(te["gflops"] * ratio, 1)
+                except (KeyError, ZeroDivisionError, TypeError):
+                    te.pop("gflops", None)
+            out[tkey] = te
+    return out
+
+
+def refresh_derived_seeds(seed_path: str = SEED_CACHE,
+                          donor: str = "v5e",
+                          targets=("v5p", "v6e")) -> int:
+    """Regenerate the derived cross-chip priors inside the packaged seed
+    (dropping stale derived entries first).  Returns the derived count."""
+    seed = _load(seed_path)
+    measured = {k: v for k, v in seed.items() if not v.get("derived")}
+    out = derive_seed_priors(measured, donor, targets)
+    _store(seed_path, out)
+    return sum(1 for v in out.values() if v.get("derived"))
+
+
 def main(argv=None):
+    import sys as _sys
+    args_in = list(argv) if argv is not None else _sys.argv[1:]
+    if "--refresh-derived-seeds" in args_in:
+        n = refresh_derived_seeds()
+        print(f"derived seed priors refreshed: {n} entries")
+        return n
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("m", type=int)
     p.add_argument("n", type=int)
@@ -670,7 +796,7 @@ def main(argv=None):
     p.add_argument("--semiring", default="plus_times")
     p.add_argument("--cache", default=DEFAULT_CACHE)
     p.add_argument("--force", action="store_true")
-    args = p.parse_args(argv)
+    args = p.parse_args(args_in)
     if args.family == "flash":
         e = autotune_flash(args.m, args.n, args.n, args.k,
                            dtype=args.dtype, causal=args.causal,

@@ -21,6 +21,13 @@ and results serialize to the same kind of CSV.
 CLI:
     python -m gemm_hls_tpu.tools.sweep --m 2048 --n 2048 --k 2048 \
         --dtype float32 --block-m 256,512 --block-n 256,512 --block-k 256,512
+    # config products (dtype x semiring x precision), like the reference's
+    # cartesian CMake option scan (build_manager.py:417-431):
+    python -m gemm_hls_tpu.tools.sweep --m 2048 --n 2048 --k 2048 \
+        --dtype bfloat16,float32 --semiring plus_times,min_plus
+    # merge result CSVs harvested on different machines/runs
+    # (build_manager.py:671-693 ``merge_files`` analogue):
+    python -m gemm_hls_tpu.tools.sweep merge a.csv b.csv -o all.csv
 """
 
 from __future__ import annotations
@@ -56,13 +63,22 @@ class SweepResult:
     gflops: Optional[float] = None
     max_rel_err: Optional[float] = None
     detail: str = ""
+    # Problem dims, recorded so result CSVs are self-describing when
+    # merged across runs/machines (``merge_files`` needs them to know
+    # which rows are comparable).  Optional: older CSVs lack them.
+    m: Optional[int] = None
+    n: Optional[int] = None
+    k: Optional[int] = None
 
-    CSV_COLS = ("dtype", "semiring", "block_m", "block_n", "block_k",
-                "precision", "status", "seconds", "gflops", "max_rel_err",
-                "detail")
+    CSV_COLS = ("m", "n", "k", "dtype", "semiring", "block_m", "block_n",
+                "block_k", "precision", "status", "seconds", "gflops",
+                "max_rel_err", "detail")
 
     def csv_row(self) -> Dict:
         return {
+            "m": self.m if self.m is not None else "",
+            "n": self.n if self.n is not None else "",
+            "k": self.k if self.k is not None else "",
             "dtype": self.config.dtype,
             "semiring": self.config.semiring,
             "block_m": self.config.block_m,
@@ -222,6 +238,10 @@ def run_one(cfg: GemmConfig, m: int, n: int, k: int, *, verify: bool = True,
     (the ``configure.sh`` hook analogue; also the fault-injection point
     for tests).
     """
+    def stamp(res):
+        res.m, res.n, res.k = m, n, k
+        return res
+
     last = None
     for attempt in range(retries + 1):
         if isolation == "process":
@@ -230,16 +250,16 @@ def run_one(cfg: GemmConfig, m: int, n: int, k: int, *, verify: bool = True,
                                 platform=platform, setup_code=setup_code)
             res = _reap_child(cfg, proc, timeout_s)
             if res.status != "timeout":
-                return res
+                return stamp(res)
             last = res
             continue
         try:
             with _alarm(timeout_s):
-                return _run_one_inner(cfg, m, n, k, verify=verify,
-                                      iters=iters, backend=backend)
+                return stamp(_run_one_inner(cfg, m, n, k, verify=verify,
+                                            iters=iters, backend=backend))
         except _Timeout as e:
             last = SweepResult(cfg, "timeout", detail=str(e))
-    return last
+    return stamp(last)
 
 
 def _run_one_inner(cfg: GemmConfig, m: int, n: int, k: int, *,
@@ -356,11 +376,20 @@ def sweep(grid: List[Dict], m: int, n: int, k: int, *, base: Optional[GemmConfig
     pending = []  # (index, cfg) still to run
 
     def emit(i, res, cached=False):
+        res.m, res.n, res.k = m, n, k
         results[i] = res
         if not cached and checkpoint_csv:
             new_file = not os.path.exists(checkpoint_csv)
+            cols = SweepResult.CSV_COLS
+            if not new_file:
+                # Resume into a checkpoint written by an older schema:
+                # honor ITS header so appended rows stay aligned.
+                with open(checkpoint_csv) as f:
+                    header = f.readline().strip()
+                cols = header.split(",") if header else cols
             with open(checkpoint_csv, "a", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=SweepResult.CSV_COLS)
+                w = csv.DictWriter(f, fieldnames=cols,
+                                   extrasaction="ignore")
                 if new_file:
                     w.writeheader()
                 w.writerow(res.csv_row())
@@ -439,8 +468,63 @@ def best_result(results: List[SweepResult]) -> Optional[SweepResult]:
     return max(ok, key=lambda r: r.gflops) if ok else None
 
 
+def merge_csvs(paths: Sequence[str], out: Optional[str] = None) -> str:
+    """Merge sweep/benchmark CSVs harvested on different machines or runs
+    into one — the ``merge_files`` verb of the reference manager
+    (``scripts/build_manager.py:671-693,763-770``).
+
+    Rows are keyed by (m, n, k, dtype, semiring, block_m, block_n,
+    block_k, precision); duplicates collapse to the best evidence:
+    an ``ok`` row beats any failure (a config that benchmarked on one
+    machine and crashed on another IS buildable), and among ``ok`` rows
+    the highest GOp/s wins (same keep-the-best rule the reference's
+    benchmark extraction applies).  Key columns absent in older CSVs
+    (m/n/k) merge as blank and still collapse consistently.
+    """
+    keyed: Dict[tuple, Dict] = {}
+    order: List[tuple] = []
+    cols = list(SweepResult.CSV_COLS)
+    for path in paths:
+        with open(path, newline="") as f:
+            reader = csv.DictReader(f)
+            for row in reader:
+                for c in (reader.fieldnames or []):
+                    if c not in cols:
+                        cols.append(c)
+                key = tuple(row.get(c, "") for c in
+                            ("m", "n", "k", "dtype", "semiring", "block_m",
+                             "block_n", "block_k", "precision"))
+                prev = keyed.get(key)
+                if prev is None:
+                    keyed[key] = row
+                    order.append(key)
+                    continue
+
+                def rank(r):
+                    ok = r.get("status") == "ok"
+                    gf = float(r["gflops"]) if r.get("gflops") else 0.0
+                    return (1 if ok else 0, gf)
+
+                if rank(row) > rank(prev):
+                    keyed[key] = row
+    buf = io.StringIO()
+    w = csv.DictWriter(buf, fieldnames=cols, restval="")
+    w.writeheader()
+    for key in order:
+        w.writerow(keyed[key])
+    text = buf.getvalue()
+    if out:
+        with open(out, "w") as f:
+            f.write(text)
+    return text
+
+
 def _int_list(s: str) -> List[int]:
     return [int(x) for x in s.split(",")]
+
+
+def _str_list(s: str) -> List[str]:
+    return [x.strip() for x in s.split(",") if x.strip()]
 
 
 def main(argv=None):
@@ -448,12 +532,32 @@ def main(argv=None):
     args_in = list(argv) if argv is not None else _sys.argv[1:]
     if args_in[:1] == ["--child"]:
         return _child_main(args_in[1])
+    if args_in[:1] == ["merge"]:
+        mp = argparse.ArgumentParser(
+            prog="sweep merge",
+            description="Merge sweep CSVs from different machines/runs "
+                        "(reference merge_files analogue).")
+        mp.add_argument("csvs", nargs="+", help="input CSV paths")
+        mp.add_argument("-o", "--out", default=None, help="merged CSV path")
+        margs = mp.parse_args(args_in[1:])
+        text = merge_csvs(margs.csvs, margs.out)
+        if not margs.out:
+            print(text, end="")
+        else:
+            nrows = text.count("\n") - 1
+            print(f"merged {len(margs.csvs)} files -> {margs.out} "
+                  f"({nrows} unique configs)")
+        return text
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--m", type=int, required=True)
     p.add_argument("--n", type=int, required=True)
     p.add_argument("--k", type=int, required=True)
-    p.add_argument("--dtype", default="float32")
-    p.add_argument("--semiring", default="plus_times")
+    p.add_argument("--dtype", type=_str_list, default=["float32"],
+                   help="comma list -> swept as a config-product axis")
+    p.add_argument("--semiring", type=_str_list, default=["plus_times"],
+                   help="comma list -> swept as a config-product axis")
+    p.add_argument("--precision", type=_str_list, default=["default"],
+                   help="comma list -> swept as a config-product axis")
     p.add_argument("--block-m", type=_int_list, default=None)
     p.add_argument("--block-n", type=_int_list, default=None)
     p.add_argument("--block-k", type=_int_list, default=None)
@@ -477,16 +581,23 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from gemm_hls_tpu.ops.semiring import get_semiring
-    if get_semiring(args.semiring).is_mxu:
+    # Block defaults follow the first semiring's engine (mixed MXU+VPU
+    # products should pass explicit --block-* lists).
+    if get_semiring(args.semiring[0]).is_mxu:
         defaults = dict(block_m=[512, 1024], block_n=[512, 1024],
                         block_k=[1024, 4096])
     else:  # VPU path wants lane-wide tiles
         defaults = dict(block_m=[16, 32, 64], block_n=[1024, 2048],
                         block_k=[512])
+    # Full cartesian config product — blocks x dtype x semiring x
+    # precision, the reference's CMake-option scan shape
+    # (build_manager.py:417-431).
     grid = expand_grid(block_m=args.block_m or defaults["block_m"],
                        block_n=args.block_n or defaults["block_n"],
-                       block_k=args.block_k or defaults["block_k"])
-    base = GemmConfig(dtype=args.dtype, semiring=args.semiring)
+                       block_k=args.block_k or defaults["block_k"],
+                       dtype=args.dtype, semiring=args.semiring,
+                       precision=args.precision)
+    base = GemmConfig(dtype=args.dtype[0], semiring=args.semiring[0])
     results = sweep(grid, args.m, args.n, args.k, base=base,
                     verify=not args.no_verify, iters=args.iters, progress=True,
                     checkpoint_csv=args.checkpoint, timeout_s=args.timeout_s,

@@ -387,3 +387,72 @@ def test_quant_dispatch_adopts_cached_blocks(tmp_path, monkeypatch):
                                     bits=8, interpret=True))
     ref = np.asarray(x) @ w
     assert np.abs(y - ref).max() / np.abs(ref).max() < 0.02
+
+
+def test_derived_cross_chip_priors(tmp_path, monkeypatch):
+    """VERDICT r4 #9: an unmeasured chip (v5p) starts from a derived
+    v5e-scaled prior shipped in the packaged seed, which a measured
+    winner in the user cache then overrides."""
+    import json
+
+    import pytest
+
+    import gemm_hls_tpu.tools.autotune as at
+    from gemm_hls_tpu.models import perf_model
+    from gemm_hls_tpu.tools.autotune import derive_seed_priors
+
+    # Derivation: blocks copy, gflops scales by the engine-peak ratio,
+    # measured target entries are never clobbered.
+    seed = {
+        "v5e/bfloat16/plus_times/1024x1024x1024": {
+            "block_m": 512, "block_n": 1024, "block_k": 1024,
+            "gflops": 100000.0},
+        "v5p/bfloat16/plus_times/2048x2048x2048": {
+            "block_m": 512, "block_n": 512, "block_k": 2048,
+            "gflops": 1.0},  # pre-existing measured v5p entry
+    }
+    out = derive_seed_priors(seed, "v5e", ("v5p",))
+    dk = "v5p/bfloat16/plus_times/1024x1024x1024"
+    assert out[dk]["derived"] is True
+    assert out[dk]["block_n"] == 1024
+    ratio = (perf_model.get_chip("v5p").peak_for("bfloat16")
+             / perf_model.get_chip("v5e").peak_for("bfloat16"))
+    assert out[dk]["gflops"] == pytest.approx(100000.0 * ratio, rel=1e-6)
+    assert out["v5p/bfloat16/plus_times/2048x2048x2048"]["gflops"] == 1.0
+    assert "derived" not in out["v5p/bfloat16/plus_times/2048x2048x2048"]
+
+    # The packaged seed ships these priors, and the lookup consults them
+    # on the fake chip...
+    monkeypatch.setattr(perf_model, "detect_chip",
+                        lambda: perf_model.get_chip("v5p"))
+    fake_seed = str(tmp_path / "seed.json")
+    json.dump(out, open(fake_seed, "w"))
+    monkeypatch.setattr(at, "SEED_CACHE", fake_seed)
+    user_cache = str(tmp_path / "user.json")
+    cfg = at.cached_config(1024, 1024, 1024, dtype="bfloat16",
+                           cache_path=user_cache)
+    assert cfg is not None and cfg.block_n == 1024
+
+    # ...until a measured winner lands in the user cache, which wins.
+    json.dump({"v5p/bfloat16/plus_times/1024x1024x1024": {
+        "block_m": 256, "block_n": 512, "block_k": 512,
+        "gflops": 123.0}}, open(user_cache, "w"))
+    cfg2 = at.cached_config(1024, 1024, 1024, dtype="bfloat16",
+                            cache_path=user_cache)
+    assert (cfg2.block_m, cfg2.block_n, cfg2.block_k) == (256, 512, 512)
+
+
+def test_packaged_seed_contains_derived_priors():
+    """The shipped seed has v5p/v6e twins for every v5e entry."""
+    import json
+
+    from gemm_hls_tpu.tools.autotune import SEED_CACHE
+
+    seed = json.load(open(SEED_CACHE))
+    v5e = [k for k in seed if k.startswith("v5e/")]
+    assert v5e, "packaged seed lost its v5e winners"
+    for chip in ("v5p", "v6e"):
+        for k in v5e:
+            tk = chip + k[len("v5e"):]
+            # Every v5e winner has a twin: derived, or measured later.
+            assert tk in seed, f"missing derived prior {tk}"

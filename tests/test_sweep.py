@@ -4,7 +4,8 @@ import pytest
 
 from gemm_hls_tpu.config import GemmConfig
 from gemm_hls_tpu.tools.sweep import (
-    SweepResult, best_result, expand_grid, run_one, sweep, to_csv,
+    SweepResult, best_result, expand_grid, merge_csvs, run_one, sweep,
+    to_csv,
 )
 
 # Small interpreter-mode base so sweeps run on CPU.
@@ -45,8 +46,10 @@ def test_sweep_and_csv():
     assert all(r.status == "ok" for r in results)
     text = to_csv(results)
     lines = text.strip().splitlines()
-    assert lines[0].startswith("dtype,semiring,block_m")
+    assert lines[0].startswith("m,n,k,dtype,semiring,block_m")
     assert len(lines) == 3
+    # Problem dims are recorded so the CSV is self-describing for merge.
+    assert lines[1].startswith("32,128,64,")
 
 
 def test_sweep_generic_semiring():
@@ -169,3 +172,76 @@ def test_run_one_unreliable_timing_classified(monkeypatch):
     assert res.status == "unreliable_timing"
     assert calls["n"] == 3  # initial + 2 re-measures before giving up
     assert res.gflops is not None
+
+
+def test_merge_csvs_keep_best(tmp_path):
+    """merge verb: ok beats failure, higher gflops beats lower, unique
+    configs union — the reference merge_files semantics
+    (build_manager.py:671-693)."""
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    a.write_text(
+        "m,n,k,dtype,semiring,block_m,block_n,block_k,precision,status,"
+        "seconds,gflops,max_rel_err,detail\n"
+        "64,64,64,float32,plus_times,16,128,64,default,ok,0.1,50.00,,\n"
+        "64,64,64,float32,plus_times,32,128,64,default,crashed,,,,boom\n")
+    b.write_text(
+        "m,n,k,dtype,semiring,block_m,block_n,block_k,precision,status,"
+        "seconds,gflops,max_rel_err,detail\n"
+        "64,64,64,float32,plus_times,16,128,64,default,ok,0.05,90.00,,\n"
+        "64,64,64,float32,plus_times,32,128,64,default,ok,0.2,20.00,,\n"
+        "64,64,64,float32,min_plus,16,128,64,default,ok,0.3,10.00,,\n")
+    out = tmp_path / "merged.csv"
+    merge_csvs([str(a), str(b)], str(out))
+    import csv as _csv
+
+    rows = list(_csv.DictReader(open(out)))
+    assert len(rows) == 3  # 2 deduped + 1 unique
+    by_blk = {(r["semiring"], r["block_m"]): r for r in rows}
+    # Machine b's faster reading wins for (16,...).
+    assert by_blk[("plus_times", "16")]["gflops"] == "90.00"
+    # ok (machine b) beats crashed (machine a) for (32,...).
+    assert by_blk[("plus_times", "32")]["status"] == "ok"
+    assert by_blk[("min_plus", "16")]["gflops"] == "10.00"
+
+
+def test_merge_csvs_legacy_schema(tmp_path):
+    """CSVs from the pre-m/n/k schema merge without error (blank dims)."""
+    a = tmp_path / "old.csv"
+    a.write_text(
+        "dtype,semiring,block_m,block_n,block_k,precision,status,seconds,"
+        "gflops,max_rel_err,detail\n"
+        "float32,plus_times,16,128,64,default,ok,0.1,50.00,,\n")
+    text = merge_csvs([str(a)])
+    lines = text.strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].startswith("m,n,k,dtype")
+    assert ",50.00," in lines[1]
+
+
+def test_merge_cli(tmp_path):
+    from gemm_hls_tpu.tools.sweep import main
+
+    a = tmp_path / "a.csv"
+    a.write_text(
+        "m,n,k,dtype,semiring,block_m,block_n,block_k,precision,status,"
+        "seconds,gflops,max_rel_err,detail\n"
+        "64,64,64,float32,plus_times,16,128,64,default,ok,0.1,50.00,,\n")
+    out = tmp_path / "m.csv"
+    main(["merge", str(a), str(a), "-o", str(out)])
+    assert out.exists()
+    assert len(out.read_text().strip().splitlines()) == 2
+
+
+def test_cli_config_product(tmp_path):
+    """CLI sweeps dtype x semiring products, not just block triples."""
+    from gemm_hls_tpu.tools.sweep import main
+
+    out = tmp_path / "prod.csv"
+    results = main([
+        "--m", "32", "--n", "128", "--k", "64",
+        "--dtype", "float32,bfloat16", "--semiring", "plus_times",
+        "--block-m", "16", "--block-n", "128", "--block-k", "64",
+        "--no-verify", "--iters", "1", "--csv", str(out)])
+    assert len(results) == 2
+    assert {r.config.dtype for r in results} == {"float32", "bfloat16"}

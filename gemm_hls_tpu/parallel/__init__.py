@@ -10,6 +10,10 @@ from gemm_hls_tpu.parallel.ring_attention import ring_flash_attention
 from gemm_hls_tpu.parallel.staging import (
     distributed_streamed_matmul, streamed_matmul, streamed_matmul_files,
 )
+from gemm_hls_tpu.parallel.pipeline import (
+    init_pipeline_params, pipeline_forward, pipeline_train_step,
+    shard_pipeline_params, stages_forward,
+)
 
 __all__ = [
     "distributed_matmul",
@@ -27,4 +31,9 @@ __all__ = [
     "ring_flash_attention",
     "cannon_matmul_fused",
     "shard_operands_ring",
+    "init_pipeline_params",
+    "pipeline_forward",
+    "pipeline_train_step",
+    "shard_pipeline_params",
+    "stages_forward",
 ]

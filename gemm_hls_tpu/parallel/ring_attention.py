@@ -197,6 +197,119 @@ def ring_flash_attention(q, k, v, mesh: Mesh, *, axis: str = "x",
                       run_interpret)
 
 
+def ring_decode_attention(q, k, v, kv_lengths, mesh: Mesh, *,
+                          axis: str = "x", window: Optional[int] = None,
+                          logit_cap: Optional[float] = None,
+                          scale: Optional[float] = None,
+                          block_q: int = 512, block_kv: int = 2048,
+                          config: Optional[GemmConfig] = None,
+                          interpret: Optional[bool] = None):
+    """Serving-side context-parallel attention: causal queries at the
+    END of a ragged, ring-sharded KV cache.
+
+    The decode/continuation batch shape: each example has a logical
+    cache length (ragged), the S_q query tokens sit at positions
+    ``length - S_q .. length - 1`` (single-token decode S_q = 1, chunked
+    continuation S_q > 1), and the cache's sequence axis is sharded
+    over ``axis``.  Composes with grouped-query heads and a sliding
+    ``window``.
+
+    Unlike the training ring, the KV cache NEVER moves: the queries are
+    tiny and replicated, each device runs one flash call against its
+    RESIDENT shard — the per-example lengths are re-anchored to
+    shard-local coordinates (``length - shard*S_loc``; values <= 0 mean
+    "this shard is past the cache end" and yield an empty lse=-inf
+    partial, values > S_loc mean "wholly valid") — and the normalized
+    (o, lse) partials, O(B·S_q·D), are all-gathered and lse-merged.
+    ICI carries the small partials instead of rotating the cache: for
+    decode the traffic is B·D·(ring_size-1) floats vs the training
+    ring's full cache rotation.  (Reference analogue: the host driver
+    slicing one kernel invocation per memory-resident tile,
+    ``host/RunHardware.cpp`` — here the "tiles" are cache shards.)
+
+    Args:
+      q: (B, S_q, D) queries, replicated (NOT sequence-sharded).
+      k, v: (B_kv, S_kv, D), sequence-sharded over ``axis``; B_kv may
+        divide B (GQA).
+      kv_lengths: (B_kv,) int32 logical cache lengths, >= S_q.
+      window: sliding window (positions (p - window, p] per query).
+
+    Returns (B, S_q, D) in q's dtype, replicated over ``axis``.
+    Inference-only (no custom VJP), like the single-chip decode path.
+    """
+    from jax.sharding import NamedSharding
+
+    from gemm_hls_tpu.ops.matmul import _resolve_interpret
+    from gemm_hls_tpu.ops.pallas_flash import flash_mha
+
+    if q.ndim != 3 or k.shape != v.shape or q.shape[0] % k.shape[0] or \
+            k.shape[2] != q.shape[2]:
+        raise ValueError(
+            f"ring_decode_attention shapes: {q.shape} x {k.shape} "
+            f"x {v.shape}")
+    if kv_lengths.shape != (k.shape[0],):
+        raise ValueError(f"kv_lengths must be ({k.shape[0]},), got "
+                         f"{kv_lengths.shape}")
+    n_ring = mesh.shape[axis]
+    s_kv = k.shape[1]
+    if s_kv % n_ring:
+        raise ValueError(f"the ring size {n_ring} must divide the KV "
+                         f"length ({s_kv})")
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    cfg = (config or default_config(str(q.dtype))).replace(
+        dtype=str(q.dtype), out_dtype="float32")
+    if interpret is not None:
+        cfg = cfg.replace(interpret=interpret)
+    run_interpret = _resolve_interpret(cfg)
+    s_loc = s_kv // n_ring
+    group = q.shape[0] // k.shape[0]
+
+    qs = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
+    kv_spec = P(None, axis, None)
+    qs = jax.device_put(qs, NamedSharding(mesh, P(None, None, None)))
+    k = jax.device_put(k, NamedSharding(mesh, kv_spec))
+    v = jax.device_put(v, NamedSharding(mesh, kv_spec))
+    kv_lengths = jax.device_put(kv_lengths.astype(jnp.int32),
+                                NamedSharding(mesh, P(None)))
+
+    def local(q_blk, k_blk, v_blk, len_blk):
+        my = jax.lax.axis_index(axis)
+        # Shard-local view of each example's cache length.  The flash
+        # kernel's bottom-right anchoring then evaluates the GLOBAL
+        # causal/window/length predicates in local coordinates:
+        # q row r sits at len_eff - S_q + r, exactly the global
+        # position shifted by this shard's offset.
+        len_eff = len_blk - my * s_loc
+        o_p, lse_p = flash_mha(
+            q_blk, k_blk, v_blk, kv_lengths=len_eff, cfg=cfg,
+            causal=True, window=window, logit_cap=logit_cap,
+            block_q=block_q, block_kv=block_kv,
+            interpret=run_interpret, save_lse=True)
+        # Shards wholly past the cache end produced all-masked rows
+        # (l = 0 -> o = 0, lse = -inf) and drop out of the merge; make
+        # that explicit per example for defense in depth.
+        dead = (len_eff <= 0)[jnp.repeat(
+            jnp.arange(len_blk.shape[0]), group)][:, None, None]
+        lse_p = jnp.where(dead, -jnp.inf, lse_p)
+        o_all = jax.lax.all_gather(o_p.astype(jnp.float32), axis)
+        lse_all = jax.lax.all_gather(lse_p, axis)      # (n, B, S_q, 1)
+        m = jnp.max(lse_all, axis=0)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        w = jnp.where(jnp.isfinite(lse_all),
+                      jnp.exp(lse_all - m[None]), 0.0)
+        den = jnp.sum(w, axis=0)
+        o = (jnp.sum(o_all * w, axis=0)
+             / jnp.where(den == 0, 1.0, den))
+        return o.astype(q_blk.dtype)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, None), kv_spec, kv_spec, P(None)),
+        out_specs=P(None, None, None), check_vma=False)
+    return fn(qs, k, v, kv_lengths)
+
+
 def zigzag_indices(s: int, n_ring: int):
     """Token permutation mapping natural order → zigzag ring layout.
 

@@ -537,3 +537,106 @@ def test_ring_feature_rejections():
         ring_flash_attention(q, q, q, mesh,
                              q_segment_ids=jnp.zeros((2, 128), jnp.int32),
                              interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Serving: ring decode (causal + ragged per-example lengths + GQA/window)
+# ---------------------------------------------------------------------------
+
+def _decode_ref(q, k, v, lengths, window=None, scale=None):
+    """Ragged dense oracle: q rows anchored at the END of each example's
+    logical cache (q row r at position length - S_q + r)."""
+    b, s_q, d = q.shape
+    g = b // k.shape[0]
+    kr = np.repeat(np.asarray(k, np.float64), g, 0)
+    vr = np.repeat(np.asarray(v, np.float64), g, 0)
+    lr = np.repeat(np.asarray(lengths), g, 0)
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    s = np.asarray(q, np.float64) @ kr.transpose(0, 2, 1) * scale
+    out = np.zeros_like(s[..., :1].repeat(d, -1))
+    kp = np.arange(k.shape[1])[None, :]
+    for i in range(b):
+        qp = (lr[i] - s_q + np.arange(s_q))[:, None]
+        m = (kp <= qp) & (kp < lr[i])
+        if window is not None:
+            m &= kp > qp - window
+        si = np.where(m, s[i], -np.inf)
+        e = np.exp(si - si.max(-1, keepdims=True))
+        out[i] = (e / e.sum(-1, keepdims=True)) @ vr[i]
+    return out
+
+
+@pytest.mark.parametrize("ring,s_q,window", [
+    (4, 1, None),        # single-token decode
+    (4, 4, None),        # chunked continuation
+    (4, 1, 48),          # windowed decode
+    (2, 8, 40),          # continuation + window
+])
+def test_ring_decode_matches_ragged_oracle(ring, s_q, window):
+    from gemm_hls_tpu.parallel import ring_decode_attention
+
+    mesh = make_mesh((ring,), ("x",))
+    b, s_kv, d = 4, 256, 64
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s_q, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s_kv, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s_kv, d)), jnp.float32)
+    # Ragged lengths: one tiny (leaves later shards EMPTY), one at the
+    # shard boundary, one mid-shard, one full cache.
+    lengths = jnp.asarray([9, 64, 150, 256], jnp.int32)
+    out = ring_decode_attention(q, k, v, lengths, mesh, window=window,
+                                block_q=32, block_kv=32, interpret=True)
+    assert out.shape == (b, s_q, d)
+    np.testing.assert_allclose(
+        np.asarray(out), _decode_ref(q, k, v, lengths, window),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_ring_decode_gqa():
+    from gemm_hls_tpu.parallel import ring_decode_attention
+
+    mesh = make_mesh((4,), ("x",))
+    hq, hkv, s_kv, d = 8, 2, 128, 64
+    q = jnp.asarray(RNG.uniform(-1, 1, (hq, 1, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (hkv, s_kv, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (hkv, s_kv, d)), jnp.float32)
+    lengths = jnp.asarray([40, 128], jnp.int32)
+    out = ring_decode_attention(q, k, v, lengths, mesh, block_q=32,
+                                block_kv=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _decode_ref(q, k, v, lengths),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_ring_decode_matches_single_chip_kvlen_path():
+    """Parity with the single-chip causal kv_lengths decode path."""
+    from gemm_hls_tpu.ops.attention import flash_attention
+    from gemm_hls_tpu.parallel import ring_decode_attention
+
+    mesh = make_mesh((4,), ("x",))
+    b, s_kv, d = 2, 128, 64
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, 1, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s_kv, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s_kv, d)), jnp.float32)
+    lengths = jnp.asarray([33, 100], jnp.int32)
+    ring = ring_decode_attention(q, k, v, lengths, mesh, block_q=32,
+                                 block_kv=32, interpret=True)
+    single = flash_attention(q, k, v, causal=True, kv_lengths=lengths,
+                             block_q=32, block_kv=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(single),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ring_decode_validates():
+    from gemm_hls_tpu.parallel import ring_decode_attention
+
+    mesh = make_mesh((4,), ("x",))
+    q = jnp.zeros((2, 1, 64), jnp.float32)
+    k = jnp.zeros((2, 130, 64), jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        ring_decode_attention(q, k, k, jnp.asarray([1, 1]), mesh,
+                              interpret=True)
+    k2 = jnp.zeros((2, 128, 64), jnp.float32)
+    with pytest.raises(ValueError, match="kv_lengths"):
+        ring_decode_attention(q, k2, k2, jnp.asarray([1, 1, 1]), mesh,
+                              interpret=True)

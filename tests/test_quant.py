@@ -161,3 +161,94 @@ def test_w8a8_zero_row_guard():
     xq, sx = quantize_activations(x)
     assert np.isfinite(np.asarray(sx)).all()
     np.testing.assert_array_equal(np.asarray(xq), 0)
+
+
+def test_w8a8_fused_quant_multi_kblock_matches_blockwise_oracle():
+    """The fused path quantizes activations per (row, K-block): exact
+    parity with a host oracle using the same scale grid."""
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.pallas_dequant import w8a8_matmul
+
+    m, k, n, bk = 32, 512, 128, 256
+    w = (RNG.standard_normal((k, n)) / np.sqrt(k)).astype(np.float32)
+    x = RNG.standard_normal((m, k)).astype(np.float32)
+    wq, s = quantize_weights(w, bits=8)
+    cfg = default_config("int8").replace(block_m=32, block_n=128,
+                                         block_k=bk, out_dtype="float32",
+                                         interpret=True)
+    got = np.asarray(w8a8_matmul(jnp.asarray(x), jnp.asarray(wq),
+                                 jnp.asarray(s), cfg=cfg, interpret=True))
+    # Host oracle with the identical per-(row, K-block) scale grid.
+    ref = np.zeros((m, n), np.float32)
+    wd = dequantize_weights(wq, s, bits=8)
+    for b in range(k // bk):
+        xt = x[:, b * bk:(b + 1) * bk]
+        ax = np.abs(xt).max(axis=1, keepdims=True)
+        sx = np.where(ax == 0, 0.0, ax / 127.0)
+        r = np.where(ax == 0, 0.0, 127.0 / ax)
+        xq = np.clip(np.round(xt * r), -127, 127)
+        ref += (xq * sx) @ wd[b * bk:(b + 1) * bk]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_w8a8_fused_no_less_accurate_than_unfused():
+    """Per-block activation scales are a finer grid than per-row: the
+    fused path's end-to-end error must not exceed the unfused path's
+    (with slack for rounding luck)."""
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.pallas_dequant import w8a8_matmul
+
+    m, k, n = 64, 1024, 256
+    w = (RNG.standard_normal((k, n)) / np.sqrt(k)).astype(np.float32)
+    # Blockwise-heterogeneous magnitudes: where per-row scales hurt.
+    x = RNG.standard_normal((m, k)).astype(np.float32)
+    x[:, : k // 2] *= 50.0
+    wq, s = quantize_weights(w, bits=8)
+    cfg = default_config("int8").replace(block_m=64, block_n=256,
+                                         block_k=256, out_dtype="float32",
+                                         interpret=True)
+    ref = x @ w
+    errs = {}
+    for fuse in (True, False):
+        got = np.asarray(w8a8_matmul(jnp.asarray(x), jnp.asarray(wq),
+                                     jnp.asarray(s), cfg=cfg,
+                                     interpret=True, fuse_quant=fuse))
+        errs[fuse] = np.abs(got - ref).max() / np.abs(ref).max()
+    assert errs[True] <= errs[False] * 1.1, errs
+
+
+def test_w8a8_fused_groupwise_scales():
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.pallas_dequant import w8a8_matmul
+
+    m, k, n, g = 32, 512, 128, 256
+    w = (RNG.standard_normal((k, n)) / np.sqrt(k)).astype(np.float32)
+    x = RNG.standard_normal((m, k)).astype(np.float32)
+    wq, s = quantize_weights(w, bits=8, group_size=g)
+    cfg = default_config("int8").replace(block_m=32, block_n=128,
+                                         block_k=g, out_dtype="float32",
+                                         interpret=True)
+    got = np.asarray(w8a8_matmul(jnp.asarray(x), jnp.asarray(wq),
+                                 jnp.asarray(s), cfg=cfg, group_size=g,
+                                 interpret=True))
+    ref = x @ w
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.03, rel
+
+
+def test_w8a8_fused_zero_rows_are_zero():
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.ops.pallas_dequant import w8a8_matmul
+
+    x = np.zeros((32, 256), np.float32)
+    x[3] = RNG.standard_normal(256)
+    w = (RNG.standard_normal((256, 128)) / 16).astype(np.float32)
+    wq, s = quantize_weights(w, bits=8)
+    cfg = default_config("int8").replace(block_m=32, block_n=128,
+                                         block_k=128, out_dtype="float32",
+                                         interpret=True)
+    got = np.asarray(w8a8_matmul(jnp.asarray(x), jnp.asarray(wq),
+                                 jnp.asarray(s), cfg=cfg, interpret=True))
+    assert np.isfinite(got).all()
+    assert np.abs(got[0]).max() == 0
+    assert np.abs(got[3]).max() > 0

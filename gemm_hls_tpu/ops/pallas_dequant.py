@@ -375,9 +375,10 @@ def w8a8_matmul(x, w_q, scales, *, cfg: GemmConfig, group_size=None,
 
     # The fused path keeps the quantized (bm, K) row strip VMEM
     # -resident; bail to the two-pass schedule when that strip (plus
-    # operand blocks) would crowd VMEM, or when x isn't lane-exact.
+    # operand blocks) would crowd VMEM, or when x / the n tile isn't
+    # lane-exact (the scale tile is built from 128-lane replicas).
     if fuse_quant and (bm * k_dim > 8 * 1024 * 1024
-                       or k_dim % 128 or bk % 128):
+                       or k_dim % 128 or bk % 128 or bn % 128):
         fuse_quant = False
     if fuse_quant:
         n_k = k_dim // bk

@@ -19,7 +19,8 @@ def main():
     import sys
 
     from gemm_hls_tpu.tools.autotune import (
-        autotune_flash, autotune_grouped, autotune_quant,
+        autotune_flash, autotune_flash_bwd, autotune_grouped,
+        autotune_quant,
     )
 
     only = None
@@ -34,6 +35,9 @@ def main():
         for causal in (False, True):
             jobs.append(("flash", dict(bsz=b, s_q=s, s_kv=s, d=128,
                                        causal=causal)))
+            # Backward blocks merge into the same entry (bwd_block_*).
+            jobs.append(("flashbwd", dict(bsz=b, s_q=s, s_kv=s, d=128,
+                                          causal=causal)))
     # Quantized serving shapes (N = K = 8192).
     jobs.append(("quant", dict(m=2048, n=8192, k=8192, mode="w8a8")))
     jobs.append(("quant", dict(m=32, n=8192, k=8192, mode="int4",
@@ -53,6 +57,9 @@ def main():
         try:
             if fam == "flash":
                 e = autotune_flash(cache_path=SCRATCH, verbose=True, **kw)
+            elif fam == "flashbwd":
+                e = autotune_flash_bwd(cache_path=SCRATCH, verbose=True,
+                                       **kw)
             elif fam == "quant":
                 e = autotune_quant(cache_path=SCRATCH, verbose=True, **kw)
             else:

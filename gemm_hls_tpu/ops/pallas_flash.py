@@ -63,7 +63,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
                   block_q, block_kv, causal, precision, out_dtype,
                   window=None, logit_cap=None, has_kvlen=False,
                   has_segids=False, has_offsets=False, kv_group=1,
-                  s_q_total=None, save_lse=False):
+                  s_q_total=None, save_lse=False, scale=1.0):
     """One (q-tile, kv-tile) step of online-softmax attention.
 
     ``refs`` = ([len_ref,] [offs_ref,] o_ref[, lse_ref], acc_ref,
@@ -137,6 +137,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, *refs, n_kv_grid, kv_rem,
 
     def step():
         q = q_ref[0]                       # (block_q, d)
+        if scale != 1.0:
+            # In-kernel scale fold, applied to the (block_q, d) q tile
+            # in registers — w/d times cheaper than scaling the
+            # (block_q, block_kv) scores, and it saves the external
+            # q*scale pass's full HBM round trip (measured 74 -> 128 TF
+            # on the S=1024 causal one-pass kernel).  Same numerics as
+            # the old external fold (bf16 q·scale).
+            q = q * scale
         k = k_ref[0]                       # (block_kv, d)
         v = v_ref[0]                       # (block_kv, d)
         s = jax.lax.dot_general(
@@ -314,7 +322,7 @@ def _tri_tables(n_q, n_kv, block_q, block_kv, window, kv_rem=0, *,
 def _flash_kernel_tri(tab_ref, q_ref, k_ref, v_ref, *refs, n_kv_grid,
                       s_kv, block_q, block_kv, bkv_compute, precision,
                       out_dtype, window=None, logit_cap=None,
-                      has_segids=False, save_lse=False):
+                      has_segids=False, save_lse=False, scale=1.0):
     """Causal flash step on the FLATTENED live-block grid.
 
     Grid = (batch·heads, T) where T = #live (q-tile, kv-tile) pairs of
@@ -361,6 +369,8 @@ def _flash_kernel_tri(tab_ref, q_ref, k_ref, v_ref, *refs, n_kv_grid,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]                       # (block_q, d)
+    if scale != 1.0:
+        q = q * scale      # in-kernel scale fold, (bq, d) in registers
     seg_q = qseg_ref[0] if has_segids else None     # (bq, 1)
     d = q.shape[1]
 
@@ -454,18 +464,132 @@ def _flash_kernel_tri(tab_ref, q_ref, k_ref, v_ref, *refs, n_kv_grid,
             lse_ref[0] = m_ref[:][:, :1] + jnp.log(l_fin[:, :1])
 
 
+def _flash_kernel_onepass(q_ref, k_ref, v_ref, *refs, s_kv, block_q,
+                          wq, w, precision, out_dtype, window=None,
+                          logit_cap=None, has_segids=False,
+                          save_lse=False, scale=1.0):
+    """Causal flash with ONE grid step per q tile (whole-row KV resident).
+
+    At small S the flattened triangular grid is still bound by per-step
+    fixed cost, not MXU work: tri_probe at S=1024 measures ~2.2 us per
+    512-block step of which only ~1 us is MXU — skipping dead blocks
+    shaves MACs but keeps the latch/init/store steps, capping causal at
+    ~50-60%% of the full-mask rate.  This kernel collapses each q-tile
+    row to a single step: the head's FULL KV stays VMEM-resident (its
+    index map is constant along the row axis, so it is DMA'd once per
+    batch-head), and every ``wq``-row q sub-tile runs a dynamic-bound
+    ``fori_loop`` over (wq, w) score slabs up to its own diagonal with
+    the online-softmax state carried in REGISTERS — no scratch inits,
+    no separate store steps, no dead-block latches, and the in-block
+    causal waste is (wq + w)/2 rows instead of (block_q + block_kv)/2.
+    The reference analogue is the same one it was for the triangular
+    tables — loop *bounds* instead of masked full loops
+    (``kernel/Compute.cpp:112-137``) — taken to per-row granularity.
+    """
+    if has_segids:
+        qseg_ref, kvseg_ref, *refs = refs
+    if save_lse:
+        o_ref, lse_ref = refs
+    else:
+        o_ref, = refs
+        lse_ref = None
+    f32 = jnp.float32
+    i = pl.program_id(1)
+    d = q_ref.shape[-1]
+    n_j = s_kv // w
+    expand = _lane_expand
+    for qi in range(block_q // wq):
+        q = q_ref[0, qi * wq:(qi + 1) * wq, :]
+        if scale != 1.0:
+            # (wq, d) in-register fold, amortized over the slab loop —
+            # scaling the (wq, w) scores per slab instead measured ~20%
+            # of the whole kernel.
+            q = q * scale
+        seg_q = (qseg_ref[0, qi * wq:(qi + 1) * wq, :]
+                 if has_segids else None)
+        q_lo = i * block_q + qi * wq
+
+        def slab(j, m_prev, l_prev, acc, q=q, seg_q=seg_q, q_lo=q_lo):
+            kv0 = j * w
+            k_sub = k_ref[0, kv0:kv0 + w, :]
+            v_sub = v_ref[0, kv0:kv0 + w, :]
+            s = jax.lax.dot_general(
+                q, k_sub, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            if logit_cap is not None:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            q_pos = q_lo + row
+            kv_pos = kv0 + col
+            valid = kv_pos <= q_pos
+            if window is not None:
+                valid &= kv_pos > q_pos - window
+            if has_segids:
+                valid &= seg_q == kvseg_ref[0, :, kv0:kv0 + w]
+            s = jnp.where(valid, s, _MASK)
+            m_cur = jnp.max(s, axis=-1)[:, None]
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - expand(m_new, w))
+            if has_segids:
+                # Rows whose segment never appears keep m = _MASK;
+                # exp(_MASK - _MASK) = 1 would corrupt l/acc (a plain
+                # window's corruption is washed out by corr = 0 once a
+                # real score arrives; a missing segment's never is).
+                p = jnp.where(valid, p, 0.0)
+            corr = jnp.exp(m_prev - m_new)
+            l_new = corr * l_prev + jax.lax.broadcast_in_dim(
+                jnp.sum(p, axis=-1), l_prev.shape, (0,))
+            pv = jax.lax.dot_general(
+                p.astype(v_sub.dtype), v_sub,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=precision)
+            return m_new, l_new, acc * expand(corr, d) + pv
+
+        m_f = jnp.full((wq, 128), _MASK, f32)
+        l_f = jnp.zeros((wq, 128), f32)
+        acc = jnp.zeros((wq, d), f32)
+        # STATICALLY UNROLLED slab loop with value carries: dead slabs
+        # are skipped through lax.cond on the (dynamic) diagonal/window
+        # bounds.  Unrolling is the performance lever — Mosaic software
+        # -pipelines the independent MXU dots of one slab against the
+        # VPU softmax chain of the previous one, which a fori_loop's
+        # sequential body cannot express (measured 2x at S=1024:
+        # experiments/causal_legs_probe.py, 112 vs 56 TF).
+        for j in range(n_j):
+            live = j * w < q_lo + wq       # not wholly future
+            if window is not None:
+                live &= (j + 1) * w > q_lo - window + 1
+            m_f, l_f, acc = jax.lax.cond(
+                live,
+                lambda m, l, a, j=j: slab(j, m, l, a),
+                lambda m, l, a: (m, l, a),
+                m_f, l_f, acc)
+        l_g = jnp.where(l_f == 0, 1.0, l_f)
+        o_ref[0, qi * wq:(qi + 1) * wq, :] = (
+            acc / expand(l_g, d)).astype(out_dtype)
+        if save_lse:
+            lse_ref[0, qi * wq:(qi + 1) * wq, :] = (
+                m_f + jnp.log(l_f))[:, :1]
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "causal", "block_q", "block_kv", "block_kv_compute",
-    "interpret", "window", "logit_cap", "save_lse"))
+    "block_q_compute", "interpret", "window", "logit_cap", "save_lse",
+    "scale"))
 def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
               kv_segment_ids=None, offsets=None, *, cfg: GemmConfig,
               causal=False, block_q=512, block_kv=2048,
-              block_kv_compute=None, interpret=False,
-              window=None, logit_cap=None, save_lse=False):
+              block_kv_compute=None, block_q_compute=None, interpret=False,
+              window=None, logit_cap=None, save_lse=False, scale=1.0):
     """Fused attention o = softmax(q·kᵀ)·v per head, streaming KV.
 
     Args:
-      q: (B, S_q, D) — scale must already be folded into q.
+      q: (B, S_q, D).  ``scale`` (static float) is folded into the f32
+        scores IN-KERNEL (s = scale·q·kᵀ) — callers must NOT pre-scale
+        q when passing it: the external q*scale pass costs a full HBM
+        round trip of q (measured 74 -> 103 TF on the S=1024 causal
+        one-pass kernel) and is less accurate (bf16 rounding of q).
       k, v: (B, S_kv, D).
       causal: apply the autoregressive mask (position-aligned at 0; fully
         future kv blocks are skipped, halving work for S_q = S_kv).
@@ -538,6 +662,99 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
         q_segment_ids = q_segment_ids.astype(jnp.int32)[..., None]
         kv_segment_ids = kv_segment_ids.astype(jnp.int32)[:, None, :]
 
+    # Static causal with the caller's block_kv covering the whole KV:
+    # one grid step per q tile, KV VMEM-resident, register-carried
+    # online softmax over a dynamic-bound sub-slab loop (see
+    # _flash_kernel_onepass).  Needs s_kv sliceable into lane-aligned
+    # slabs and the KV working set to fit VMEM; otherwise the
+    # triangular-table grid below streams KV.
+    if causal and not has_kvlen and not has_offsets and block_kv >= s_kv:
+        w = 0
+        if s_kv % 128 == 0:
+            r = s_kv // 128
+            dmax = min((block_kv_compute or 512) // 128, r)
+            while dmax >= 1 and r % dmax:
+                dmax -= 1
+            w = 128 * dmax
+        itm = q.dtype.itemsize
+        # One grid step per q tile is the lever (amortizes the per-step
+        # latch + store over the whole row's MXU work), so widen the q
+        # tile to the full sequence when VMEM allows — measured 2x over
+        # per-512-row steps at S=1024.
+        bq1 = s_q if s_q % 8 == 0 else block_q
+        resident = (2 * (2 * s_kv * d * itm)     # double-buffered K + V
+                    + 2 * 2 * bq1 * d * itm)     # q + o blocks
+        wq = min(block_q_compute or 512, bq1)
+        while bq1 % wq:
+            wq -= 8
+        n_bodies = (s_kv // max(w, 1)) * (bq1 // max(wq, 1))
+        if (w and resident <= 0.7 * cfg.vmem_limit_bytes
+                and n_bodies <= 512):
+            block_q = bq1
+            n_q = pl.cdiv(s_q, block_q)
+            kernel = functools.partial(
+                _flash_kernel_onepass,
+                s_kv=s_kv,
+                block_q=block_q,
+                wq=wq,
+                w=w,
+                precision=_resolve_precision(cfg),
+                out_dtype=cfg.jout_dtype,
+                window=window,
+                logit_cap=logit_cap,
+                has_segids=has_segids,
+                save_lse=save_lse,
+                scale=scale,
+            )
+            kwargs = {}
+            if not interpret:
+                kwargs["compiler_params"] = pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary"),
+                    vmem_limit_bytes=cfg.vmem_limit_bytes,
+                )
+                kwargs["cost_estimate"] = pl.CostEstimate(
+                    flops=int(2.2 * bsz * s_q * s_kv * d),
+                    bytes_accessed=(q.size + k.size + v.size) * itm
+                    + q.size * jnp.dtype(cfg.jout_dtype).itemsize,
+                    transcendentals=bsz * s_q * s_kv // 2,
+                )
+            qi1 = lambda b, i: (b, i, 0)                        # noqa: E731
+            kvi1 = lambda b, i, g=group: (b // g, 0, 0)         # noqa: E731
+            out_specs = pl.BlockSpec((1, block_q, d), qi1,
+                                     memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((bsz, s_q, d), cfg.jout_dtype)
+            if save_lse:
+                out_specs = (out_specs,
+                             pl.BlockSpec((1, block_q, 1), qi1,
+                                          memory_space=pltpu.VMEM))
+                out_shape = (out_shape,
+                             jax.ShapeDtypeStruct((bsz, s_q, 1),
+                                                  jnp.float32))
+            in_specs = [
+                pl.BlockSpec((1, block_q, d), qi1,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_kv, d), kvi1, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_kv, d), kvi1, memory_space=pltpu.VMEM),
+            ]
+            operands = [q, k, v]
+            if has_segids:
+                in_specs.append(pl.BlockSpec((1, block_q, 1), qi1,
+                                             memory_space=pltpu.VMEM))
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, s_kv), lambda b, i, g=group: (b // g, 0, 0),
+                    memory_space=pltpu.VMEM))
+                operands.extend((q_segment_ids, kv_segment_ids))
+            return pl.pallas_call(
+                kernel,
+                grid=(bsz, n_q),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+                name=f"flash_mha_onepass_{block_q}x{wq}x{w}x{d}",
+                **kwargs,
+            )(*operands)
+
     # Static causal (± window/segids) with streamed KV: flatten the live
     # (q-tile, kv-tile) pairs into one grid axis via scalar prefetch, so
     # dead blocks are never DMA'd or latched (vs ~2x their cost under the
@@ -563,6 +780,7 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
             logit_cap=logit_cap,
             has_segids=has_segids,
             save_lse=save_lse,
+            scale=scale,
         )
         kwargs = {}
         if not interpret:
@@ -638,6 +856,7 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
         kv_group=group,
         s_q_total=s_q,
         save_lse=save_lse,
+        scale=scale,
     )
 
     kwargs = {}
@@ -734,7 +953,7 @@ def _zero_rows(x, limit):
 def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
                     block_q, block_kv, causal, precision, window=None,
                     logit_cap=None, qseg=None, kvseg=None, q_off=0,
-                    kv_off=0):
+                    kv_off=0, scale=1.0):
     """Shared block recompute: returns (p, ds, k, v) with p/ds f32
     (block_q, block_kv) and k/v row-zeroed at the kv overhang.
 
@@ -747,6 +966,12 @@ def _recompute_p_ds(qs, k, v, do, lse, delta, *, j, i, n_kv_grid, kv_rem,
     derivative, so downstream dq/dk are gradients w.r.t. the RAW scores.
     """
     f32 = jnp.float32
+    if scale != 1.0:
+        # Forward's in-kernel scale fold, replayed in the recompute at
+        # the same cheap (block_q, d) granularity.  The returned ds is
+        # dL/d(scale·q·kᵀ); the callers fold the extra
+        # d(scale·q·kᵀ)/d{q,k} = scale factor into dq/dk.
+        qs = qs * scale
     s = jax.lax.dot_general(
         qs, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32, precision=precision)
@@ -789,7 +1014,7 @@ def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                          *refs, n_kv_grid, kv_rem, block_q,
                          block_kv, causal, precision, out_dtype,
                          window=None, logit_cap=None, has_segids=False,
-                         has_offsets=False):
+                         has_offsets=False, scale=1.0):
     if has_offsets:
         offs_ref, *refs = refs
         q_off, kv_off = offs_ref[0], offs_ref[1]
@@ -816,11 +1041,13 @@ def _flash_bwd_dq_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             logit_cap=logit_cap,
             qseg=qseg_ref[0] if has_segids else None,
             kvseg=kvseg_ref[0] if has_segids else None,
-            q_off=q_off, kv_off=kv_off)
+            q_off=q_off, kv_off=kv_off, scale=scale)
         contrib = jax.lax.dot_general(
             ds.astype(kz.dtype), kz,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
+        if scale != 1.0:
+            contrib = contrib * scale      # dq = scale · (ds · k)
         if n_kv_grid == 1:
             dq_ref[0] = contrib.astype(out_dtype)
         else:
@@ -849,7 +1076,7 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                           n_kv_grid, q_rem, kv_rem, block_q, block_kv,
                           causal, precision, out_dtype, window=None,
                           logit_cap=None, has_segids=False,
-                          has_offsets=False):
+                          has_offsets=False, scale=1.0):
     """Grid (batch, kv-tiles, q-tiles): q streamed innermost, the
     (block_kv, d) dk/dv accumulators stationary."""
     if has_offsets:
@@ -881,7 +1108,7 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             logit_cap=logit_cap,
             qseg=qseg_ref[0] if has_segids else None,
             kvseg=kvseg_ref[0] if has_segids else None,
-            q_off=q_off, kv_off=kv_off)
+            q_off=q_off, kv_off=kv_off, scale=scale)
         if q_rem:
             # The q overhang is NOT row-local here: garbage q rows feed
             # the over-q contractions below.  Zero p/ds rows AND the
@@ -903,6 +1130,8 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             ds.astype(qs.dtype), qs,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
+        if scale != 1.0:
+            dk_c = dk_c * scale            # dk = scale · (dsᵀ · q)
         if n_q_grid == 1:
             dk_ref[0] = dk_c.astype(out_dtype)
             dv_ref[0] = dv_c.astype(out_dtype)
@@ -940,13 +1169,16 @@ def _bwd_common(q, k, v, cfg, block_q, block_kv):
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "causal", "block_q", "block_kv", "interpret", "window",
-    "logit_cap"))
+    "logit_cap", "scale"))
 def flash_mha_bwd_dq(qs, k, v, do, lse, delta, q_segment_ids=None,
                      kv_segment_ids=None, offsets=None, *,
                      cfg: GemmConfig,
                      causal=False, block_q=512, block_kv=2048,
-                     interpret=False, window=None, logit_cap=None):
-    """dL/d(q·scale): grid (batch, q-tiles, kv-tiles), kv streamed.
+                     interpret=False, window=None, logit_cap=None,
+                     scale=1.0):
+    """dL/dq: grid (batch, q-tiles, kv-tiles), kv streamed.  ``scale``
+    must match the forward's in-kernel fold (pass 1.0 when the caller
+    pre-scaled q).
 
     ``q_segment_ids``/``kv_segment_ids`` arrive pre-shaped (B, S_q, 1) /
     (B_kv, 1, S_kv) int32 (the layouts the kernel compares without a
@@ -964,7 +1196,7 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, q_segment_ids=None,
         precision=_resolve_precision(cfg), out_dtype=qs.dtype,
         window=window, logit_cap=logit_cap,
         has_segids=q_segment_ids is not None,
-        has_offsets=offsets is not None)
+        has_offsets=offsets is not None, scale=scale)
 
     kwargs = {}
     if not interpret:
@@ -1014,12 +1246,13 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, q_segment_ids=None,
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "causal", "block_q", "block_kv", "interpret", "window",
-    "logit_cap"))
+    "logit_cap", "scale"))
 def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, q_segment_ids=None,
                       kv_segment_ids=None, offsets=None, *,
                       cfg: GemmConfig,
                       causal=False, block_q=512, block_kv=2048,
-                      interpret=False, window=None, logit_cap=None):
+                      interpret=False, window=None, logit_cap=None,
+                      scale=1.0):
     """(dL/dk, dL/dv): grid (batch, kv-tiles, q-tiles), q streamed."""
     bsz, s_q, s_kv, d, block_q, block_kv, group = _bwd_common(
         qs, k, v, cfg, block_q, block_kv)
@@ -1034,7 +1267,7 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, q_segment_ids=None,
         precision=_resolve_precision(cfg), out_dtype=k.dtype,
         window=window, logit_cap=logit_cap,
         has_segids=q_segment_ids is not None,
-        has_offsets=offsets is not None)
+        has_offsets=offsets is not None, scale=scale)
 
     kwargs = {}
     if not interpret:
@@ -1106,33 +1339,46 @@ def _seg3(q_seg, kv_seg):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                                    16))
 def flash_mha_diff(qs, k, v, q_seg, kv_seg, cfg: GemmConfig, causal,
                    block_q, block_kv, interpret, window=None,
-                   logit_cap=None, block_kv_compute=None):
+                   logit_cap=None, block_kv_compute=None,
+                   block_q_compute=None, bwd_block_q=None,
+                   bwd_block_kv=None, scale=1.0):
     return flash_mha(qs, k, v, None, q_seg, kv_seg, cfg=cfg,
                      causal=causal, block_q=block_q,
                      block_kv=block_kv,
                      block_kv_compute=block_kv_compute,
+                     block_q_compute=block_q_compute,
                      interpret=interpret,
-                     window=window, logit_cap=logit_cap)
+                     window=window, logit_cap=logit_cap, scale=scale)
 
 
 def _flash_diff_fwd(qs, k, v, q_seg, kv_seg, cfg, causal, block_q,
                     block_kv, interpret, window=None, logit_cap=None,
-                    block_kv_compute=None):
+                    block_kv_compute=None, block_q_compute=None,
+                    bwd_block_q=None, bwd_block_kv=None, scale=1.0):
     o, lse = flash_mha(qs, k, v, None, q_seg, kv_seg, cfg=cfg,
                        causal=causal, block_q=block_q,
                        block_kv=block_kv,
                        block_kv_compute=block_kv_compute,
+                       block_q_compute=block_q_compute,
                        interpret=interpret,
-                       window=window, logit_cap=logit_cap, save_lse=True)
+                       window=window, logit_cap=logit_cap, save_lse=True,
+                       scale=scale)
     return o, (qs, k, v, o, lse, q_seg, kv_seg)
 
 
 def _flash_diff_bwd(cfg, causal, block_q, block_kv, interpret, window,
-                    logit_cap, block_kv_compute, res, do):
+                    logit_cap, block_kv_compute, block_q_compute,
+                    bwd_block_q, bwd_block_kv, scale, res, do):
     qs, k, v, o, lse, q_seg, kv_seg = res
+    # The backward kernels have their own block optima (dq streams KV
+    # with a (block_q, d) accumulator; dkv streams Q with (block_kv, d)
+    # accumulators) — autotuned separately from the forward blocks.
+    block_q = bwd_block_q or block_q
+    block_kv = bwd_block_kv or block_kv
     qseg3, kvseg3 = _seg3(q_seg, kv_seg)
     # Softmax-Jacobian row term Δ = Σ_d do ⊙ o, in f32 (one cheap
     # elementwise pass XLA fuses; the kernels read it per q-row).
@@ -1142,11 +1388,13 @@ def _flash_diff_bwd(cfg, causal, block_q, block_kv, interpret, window,
     dqs = flash_mha_bwd_dq(qs, k, v, do_c, lse, delta, qseg3, kvseg3,
                            cfg=cfg, causal=causal, block_q=block_q,
                            block_kv=block_kv, interpret=interpret,
-                           window=window, logit_cap=logit_cap)
+                           window=window, logit_cap=logit_cap,
+                           scale=scale)
     dk, dv = flash_mha_bwd_dkv(qs, k, v, do_c, lse, delta, qseg3, kvseg3,
                                cfg=cfg, causal=causal, block_q=block_q,
                                block_kv=block_kv, interpret=interpret,
-                               window=window, logit_cap=logit_cap)
+                               window=window, logit_cap=logit_cap,
+                               scale=scale)
     group = qs.shape[0] // k.shape[0]
     if group > 1:
         # GQA: the dkv kernel emits per-q-head tiles; fold each group of

@@ -533,38 +533,136 @@ def autotune_flash(bsz: int, s_q: int, s_kv: int, d: int, *,
     except Exception:  # noqa: BLE001
         ceiling = None
 
-    # (block_q, block_kv, block_kv_compute): bkv_compute only matters on
-    # the causal path (edge-block sub-granularity in the triangular
-    # kernel); the full-mask kernel ignores it.
+    # (block_q, block_kv, block_kv_compute, block_q_compute): causal
+    # candidates lead with ONE-PASS rows (block_q = block_kv = S: whole
+    # -row KV resident, register carries, lax.cond slab skip — measured
+    # ~2x the streamed triangular grid at S <= 4096), then triangular
+    # -table fallbacks for VMEM-constrained S.  The full-mask kernel
+    # ignores the compute sub-blocks.
     if causal:
-        raw = [(512, 1024, 512), (512, 2048, 512), (512, 512, 512),
-               (1024, 1024, 512), (1024, 2048, 512), (512, 2048, 1024),
-               (256, 1024, 256), (512, 1024, 256)]
+        raw = [(s_q, s_kv, 512, 512), (s_q, s_kv, 512, 256),
+               (s_q, s_kv, 256, 256), (s_q, s_kv, 1024, 512),
+               (512, 1024, 512, None), (512, 2048, 512, None),
+               (1024, 2048, 512, None), (1024, 1024, 512, None)]
     else:
-        raw = [(512, 2048, None), (512, 1024, None), (1024, 1024, None),
-               (256, 2048, None), (1024, 2048, None), (512, 512, None),
-               (256, 1024, None), (2048, 512, None)]
+        raw = [(512, 2048, None, None), (512, 1024, None, None),
+               (1024, 1024, None, None), (256, 2048, None, None),
+               (1024, 2048, None, None), (512, 512, None, None),
+               (256, 1024, None, None), (2048, 512, None, None)]
     cands, seen = [], set()
-    for bq, bkv, bkvc in raw:
+    for bq, bkv, bkvc, bqc in raw:
         bq, bkv = min(bq, s_q), min(bkv, s_kv)
         bkvc = min(bkvc, bkv) if bkvc else None
-        if (bq, bkv, bkvc) not in seen:
-            seen.add((bq, bkv, bkvc))
+        bqc = min(bqc, bq) if bqc else None
+        if (bq, bkv, bkvc, bqc) not in seen:
+            seen.add((bq, bkv, bkvc, bqc))
             e = {"block_q": bq, "block_kv": bkv}
             if bkvc:
                 e["block_kv_compute"] = bkvc
+            if bqc:
+                e["block_q_compute"] = bqc
             cands.append(e)
 
     def measure(entry):
         fn = jax.jit(lambda q, k, v, e=entry: flash_attention(
             q, k, v, causal=causal, block_q=e["block_q"],
             block_kv=e["block_kv"],
-            block_kv_compute=e.get("block_kv_compute")))
+            block_kv_compute=e.get("block_kv_compute"),
+            block_q_compute=e.get("block_q_compute")))
         return time_fn(fn, [(q, k, v)], iters=iters, warmup=1)
 
     return _tune_family("flash", (bsz, s_q, s_kv, d), dtype,
                         "causal" if causal else "full", cands, measure,
                         flops, ceiling, cache_path, rounds, force, verbose)
+
+
+def autotune_flash_bwd(bsz: int, s_q: int, s_kv: int, d: int, *,
+                       dtype: str = "bfloat16", causal: bool = False,
+                       cache_path: str = DEFAULT_CACHE, iters: int = 8,
+                       rounds: int = 3, force: bool = False,
+                       verbose: bool = False) -> dict:
+    """Best measured (bwd_block_q, bwd_block_kv) for the flash BACKWARD
+    kernels (dq + dkv timed together — they always run as a pair in the
+    VJP), merged into the same family entry the forward tuner writes so
+    the dispatcher picks both up from one lookup."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemm_hls_tpu.config import default_config
+    from gemm_hls_tpu.models.perf_model import detect_chip
+    from gemm_hls_tpu.ops.pallas_flash import (
+        flash_mha, flash_mha_bwd_dq, flash_mha_bwd_dkv,
+    )
+    from gemm_hls_tpu.utils.benchmark import time_fn
+
+    chip = detect_chip()
+    tag = "causal" if causal else "full"
+    key = _key_family(chip.name, "flash", dtype, (bsz, s_q, s_kv, d), tag)
+    cache = _load(cache_path)
+    if not force and "bwd_block_q" in cache.get(key, {}):
+        return cache[key]
+
+    kq, kk, kv, kd = jax.random.split(jax.random.PRNGKey(5), 4)
+    jdt = jnp.dtype(dtype)
+    q = (jax.random.normal(kq, (bsz, s_q, d), jnp.float32) * 0.1).astype(jdt)
+    k = (jax.random.normal(kk, (bsz, s_kv, d), jnp.float32) * 0.3).astype(jdt)
+    v = (jax.random.normal(kv, (bsz, s_kv, d), jnp.float32) * 0.3).astype(jdt)
+    do = (jax.random.normal(kd, (bsz, s_q, d), jnp.float32) * 0.3).astype(jdt)
+    cfg = default_config(dtype).replace(out_dtype=dtype)
+    o, lse = flash_mha(q, k, v, cfg=cfg, causal=causal, block_q=512,
+                       block_kv=min(2048, s_kv), save_lse=True)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    jax.block_until_ready((o, lse, delta))
+    # 7 score-area contractions across the dq+dkv pair.
+    flops = 7 * 2.0 * bsz * s_q * s_kv * d / (2 if causal else 1)
+    iters = max(iters, min(300, int(6e12 / max(flops, 1))))
+    try:
+        ceiling = (chip.peak_for(dtype) or 0) / 1e9 or None
+    except Exception:  # noqa: BLE001
+        ceiling = None
+
+    raw = [(512, 1024), (512, 2048), (512, 512), (1024, 1024),
+           (256, 1024), (1024, 2048)]
+    cands, seen = [], set()
+    for bq, bkv in raw:
+        bq, bkv = min(bq, s_q), min(bkv, s_kv)
+        if (bq, bkv) not in seen:
+            seen.add((bq, bkv))
+            cands.append({"bwd_block_q": bq, "bwd_block_kv": bkv})
+
+    def measure(entry):
+        def pair(q, k, v, do, lse, dl, e=entry):
+            dq = flash_mha_bwd_dq(q, k, v, do, lse, dl, cfg=cfg,
+                                  causal=causal,
+                                  block_q=e["bwd_block_q"],
+                                  block_kv=e["bwd_block_kv"])
+            dk, dv = flash_mha_bwd_dkv(q, k, v, do, lse, dl, cfg=cfg,
+                                       causal=causal,
+                                       block_q=e["bwd_block_q"],
+                                       block_kv=e["bwd_block_kv"])
+            return dq, dk, dv
+
+        fn = jax.jit(pair)
+        return time_fn(fn, [(q, k, v, do, lse, delta)], iters=iters,
+                       warmup=1)
+
+    best = _tune_family("flashbwd-scratch", (bsz, s_q, s_kv, d), dtype,
+                        tag, cands, measure, flops, ceiling,
+                        cache_path + ".bwdtmp", rounds, True, verbose)
+    # Merge the backward winner into the real flash entry.
+    cache = _load(cache_path)
+    entry = dict(cache.get(key, {}))
+    entry["bwd_block_q"] = best["bwd_block_q"]
+    entry["bwd_block_kv"] = best["bwd_block_kv"]
+    entry["bwd_gflops"] = best["gflops"]
+    cache[key] = entry
+    _store(cache_path, cache)
+    try:
+        os.remove(cache_path + ".bwdtmp")
+    except OSError:
+        pass
+    return entry
 
 
 _QUANT_BLOCK_CANDS = [(512, 1024, 4096), (512, 1024, 2048),

@@ -694,3 +694,134 @@ def test_flash_decode_fast_path_noncausal():
                    np.asarray(v[0, :, h])[None])
         np.testing.assert_allclose(np.asarray(out[0, :, h])[None], exp,
                                    rtol=1e-4, atol=1e-5, err_msg=f"h{h}")
+
+
+# ---------------------------------------------------------------------------
+# One-pass causal kernel (whole-row KV resident, register-carried softmax).
+# Engages when block_kv >= S_kv and S_kv is lane-sliceable; these tests
+# force it explicitly and cross-check against the streamed triangular path
+# and the f64 oracle (same philosophy as the reference's hw_emu-vs-sim
+# cross-checks, test/TestSimulation.cpp).
+# ---------------------------------------------------------------------------
+
+
+def _onepass(q, k, v, **kw):
+    """Force the one-pass dispatch: whole-KV block, sub-slab compute."""
+    skv = k.shape[1]
+    return flash_attention(q, k, v, causal=True, block_kv=skv,
+                           block_kv_compute=min(128, skv),
+                           interpret=True, **kw)
+
+
+def _triangular(q, k, v, **kw):
+    """Force the streamed triangular-table path: block_kv < S_kv."""
+    return flash_attention(q, k, v, causal=True, block_q=64,
+                           block_kv=max(64, k.shape[1] // 2),
+                           interpret=True, **kw)
+
+
+@pytest.mark.parametrize("sq,skv,d,bqc", [
+    (256, 256, 64, 64),     # aligned, wq sub-tiles the row
+    (256, 256, 64, 256),    # wq = whole block (single q sub-tile)
+    (120, 256, 32, 64),     # unaligned S_q (bq falls back, edge store)
+    (256, 384, 64, 64),     # S_kv > S_q (prefix context, all live)
+])
+def test_flash_onepass_matches_oracle(sq, skv, d, bqc):
+    q = RNG.uniform(-2, 2, (2, sq, d)).astype(np.float32)
+    k = RNG.uniform(-2, 2, (2, skv, d)).astype(np.float32)
+    v = RNG.uniform(-2, 2, (2, skv, d)).astype(np.float32)
+    out = _onepass(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                   block_q_compute=bqc)
+    # Plain-causal semantics are position-aligned at 0 (flash_mha
+    # docstring): with S_kv > S_q the kv tail is fully future.
+    s = (q.astype(np.float64) @ k.astype(np.float64).transpose(0, 2, 1)
+         / np.sqrt(d))
+    pos_q = np.arange(sq)[:, None]
+    keep = np.arange(skv)[None, :] <= pos_q
+    s = np.where(keep, s, -np.inf)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    exp = (e / e.sum(-1, keepdims=True)) @ v.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_onepass_matches_triangular_window_gqa():
+    # Sliding window + GQA, one-pass vs streamed path must agree.
+    nb, sq, hq, hkv, d = 1, 256, 4, 2, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (nb, sq, hq, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (nb, sq, hkv, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (nb, sq, hkv, d)), jnp.float32)
+    a = _onepass(q, k, v, window=96, block_q_compute=64)
+    b = _triangular(q, k, v, window=96)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_flash_onepass_segment_ids_and_grads():
+    # Packed causal training through the one-pass kernel: forward vs
+    # oracle, gradients vs autodiff of the dense reference.
+    b, s, d = 1, 256, 32
+    seg = np.zeros((b, s), np.int32)
+    seg[:, 100:180] = 1
+    seg[:, 180:] = 2
+    segj = jnp.asarray(seg)
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+
+    out = _onepass(q, k, v, q_segment_ids=segj, kv_segment_ids=segj,
+                   block_q_compute=64)
+    np.testing.assert_allclose(
+        np.asarray(out), _packed_oracle(q, k, v, seg, seg, causal=True),
+        rtol=1e-4, atol=1e-5)
+
+    def ours(q, k, v):
+        return jnp.sum(_onepass(q, k, v, q_segment_ids=segj,
+                                kv_segment_ids=segj,
+                                block_q_compute=64) ** 2)
+
+    def ref(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k) / np.sqrt(d)
+        pos = jnp.arange(s)
+        keep = ((segj[:, :, None] == segj[:, None, :])
+                & (pos[None, :] <= pos[:, None])[None])
+        sc = jnp.where(keep, sc, -jnp.inf)
+        p = jax.nn.softmax(sc, axis=-1)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", p, v) ** 2)
+
+    g_ours = jax.grad(ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for name, ga, gb in zip("dq dk dv".split(), g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_flash_onepass_logit_cap():
+    q = jnp.asarray(RNG.uniform(-1, 1, (1, 256, 32)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (1, 256, 32)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (1, 256, 32)), jnp.float32)
+    a = _onepass(q, k, v, logit_cap=20.0, block_q_compute=64)
+    b = _triangular(q, k, v, logit_cap=20.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_flash_bwd_block_overrides_match_defaults():
+    # Explicit backward tile sizes (the autotuned bwd_block_* knobs)
+    # must not change gradients.
+    b, s, d = 1, 256, 32
+    q = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    k = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+    v = jnp.asarray(RNG.uniform(-1, 1, (b, s, d)), jnp.float32)
+
+    def loss(q, k, v, **kw):
+        return jnp.sum(flash_attention(q, k, v, causal=True, block_q=64,
+                                       block_kv=128, interpret=True,
+                                       **kw) ** 2)
+
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g1 = jax.grad(lambda q, k, v: loss(q, k, v, bwd_block_q=128,
+                                       bwd_block_kv=64),
+                  argnums=(0, 1, 2))(q, k, v)
+    for name, ga, gb in zip("dq dk dv".split(), g0, g1):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)

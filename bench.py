@@ -306,7 +306,7 @@ def main():
         # scores, head_dim 128): one-kernel streaming softmax(QK^T)V vs
         # jax.nn.dot_product_attention.  Both sides produce the real
         # (B, S, D) output — consumer-matched, no fusion elision possible.
-        flash_tf = dpa_tf = None
+        flash_tf = dpa_tf = flash_causal_tf = None
         try:
             from gemm_hls_tpu.ops.attention import flash_attention
 
@@ -332,6 +332,15 @@ def main():
             log(f"flash attention {fb}x{fs}^2x{fd}: {t_fl*1e3:.2f} ms -> "
                 f"{flash_tf:.1f} TF (jax.nn.dpa: {dpa_tf:.1f} TF, "
                 f"ratio {flash_tf/dpa_tf:.2f})")
+            # Causal (the training mask), live-flop convention: parity
+            # with flash_tf = perfect dead-block skipping.
+            fc_fn = jax.jit(lambda q, k, v: flash_attention(
+                q, k, v, causal=True))
+            t_fc = time_fn(fc_fn, [(qa, ka, va)], iters=120)
+            flash_causal_tf = fl_flops / 2 / t_fc / 1e12
+            log(f"causal flash {fb}x{fs}^2x{fd}: {t_fc*1e3:.2f} ms -> "
+                f"{flash_causal_tf:.1f} TF live "
+                f"({flash_causal_tf/flash_tf:.0%} of full-mask)")
         except Exception as e:  # noqa: BLE001
             log(f"flash attention bench FAILED: {e}")
 
@@ -414,6 +423,8 @@ def main():
         "attention_dpa_tf": round(dpa_tf, 1) if dpa_tf else None,
         "attention_vs_dpa": (round(flash_tf / dpa_tf, 2)
                              if flash_tf and dpa_tf else None),
+        "attention_causal_tf": (round(flash_causal_tf, 1)
+                                if flash_causal_tf else None),
         "int4_weight_only_m32_tf": round(int4_tf, 1) if int4_tf else None,
         "w8a8_2048_tf": round(w8a8_tf, 1) if w8a8_tf else None,
         "chip": chip.name,

@@ -116,8 +116,18 @@ def main():
             return jnp.sum((p.astype(jnp.bfloat16) @ v)
                            .astype(jnp.float32) ** 2)
 
-        g_ours = jax.jit(jax.grad(fr, argnums=(0, 1, 2)))
-        g_xla = jax.jit(jax.grad(xr, argnums=(0, 1, 2)))
+        def combined(gradfn):
+            # One value depending on ALL grads: time_fn checksums only
+            # the first output leaf, and a bare grads tuple lets XLA
+            # dead-code-eliminate the dk/dv computation on both sides.
+            def f(q, k, v):
+                gq, gk, gv = gradfn(q, k, v)
+                return (gq[0, :8, :8].astype(jnp.float32)
+                        + gk[0, :8, :8] + gv[0, :8, :8])
+            return jax.jit(f)
+
+        g_ours = combined(jax.grad(fr, argnums=(0, 1, 2)))
+        g_xla = combined(jax.grad(xr, argnums=(0, 1, 2)))
         q32 = q.astype(jnp.bfloat16)
         ts = [time_fn(g_ours, [(q32, k, v)], iters=max(5, iters // 2),
                       warmup=1) for _ in range(args.rounds)]

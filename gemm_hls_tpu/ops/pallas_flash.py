@@ -688,8 +688,12 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
         while bq1 % wq:
             wq -= 8
         n_bodies = (s_kv // max(w, 1)) * (bq1 // max(wq, 1))
+        # <= 64 unrolled cond bodies is the measured-compiling envelope
+        # (S=4096 @ 512x512 works and wins at 151 TF; S=8192's 256
+        # bodies exhaust Mosaic resources) — past it the triangular
+        # streamed grid takes over.
         if (w and resident <= 0.7 * cfg.vmem_limit_bytes
-                and n_bodies <= 512):
+                and n_bodies <= 64):
             block_q = bq1
             n_q = pl.cdiv(s_q, block_q)
             kernel = functools.partial(

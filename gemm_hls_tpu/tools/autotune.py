@@ -542,13 +542,24 @@ def autotune_flash(bsz: int, s_q: int, s_kv: int, d: int, *,
     if causal:
         raw = [(s_q, s_kv, 512, 512), (s_q, s_kv, 512, 256),
                (s_q, s_kv, 256, 256), (s_q, s_kv, 1024, 512),
+               # 64-unrolled-body variant for long S (S=8192 at w=wq=
+               # 1024 is the only one-pass config inside the compile
+               # envelope there).
+               (s_q, s_kv, 1024, 1024),
                (512, 1024, 512, None), (512, 2048, 512, None),
                (1024, 2048, 512, None), (1024, 1024, 512, None)]
     else:
         raw = [(512, 2048, None, None), (512, 1024, None, None),
                (1024, 1024, None, None), (256, 2048, None, None),
                (1024, 2048, None, None), (512, 512, None, None),
-               (256, 1024, None, None), (2048, 512, None, None)]
+               (256, 1024, None, None), (2048, 512, None, None),
+               # Whole-row KV blocks: one grid step per q tile, single
+               # -pass softmax (no online carries) — the causal one
+               # -pass measuring ABOVE the streamed full kernel at
+               # S=4096 says the carry/latch overhead is worth killing
+               # on the full mask too.
+               (512, s_kv, None, None), (1024, s_kv, None, None),
+               (256, s_kv, None, None)]
     cands, seen = [], set()
     for bq, bkv, bkvc, bqc in raw:
         bq, bkv = min(bq, s_q), min(bkv, s_kv)
@@ -616,7 +627,11 @@ def autotune_flash_bwd(bsz: int, s_q: int, s_kv: int, d: int, *,
     jax.block_until_ready((o, lse, delta))
     # 7 score-area contractions across the dq+dkv pair.
     flops = 7 * 2.0 * bsz * s_q * s_kv * d / (2 if causal else 1)
-    iters = max(iters, min(300, int(6e12 / max(flops, 1))))
+    # Integrate >= ~30 TFLOP per reading: the pair runs two sub-ms
+    # kernels, and at the fwd tuners' 6-TFLOP target the fixed ~15 ms
+    # transport subtraction swamps the signal (readings landed ABOVE
+    # the engine ceiling and were all discarded as unreliable).
+    iters = max(iters, min(300, int(3e13 / max(flops, 1))))
     try:
         ceiling = (chip.peak_for(dtype) or 0) / 1e9 or None
     except Exception:  # noqa: BLE001
@@ -641,7 +656,14 @@ def autotune_flash_bwd(bsz: int, s_q: int, s_kv: int, d: int, *,
                                        causal=causal,
                                        block_q=e["bwd_block_q"],
                                        block_kv=e["bwd_block_kv"])
-            return dq, dk, dv
+            # ONE value that depends on all three kernels: time_fn's
+            # on-device loop checksums only the FIRST output leaf, so
+            # returning (dq, dk, dv) lets XLA dead-code-eliminate the
+            # whole dkv kernel (measured 7/3x inflated, readings above
+            # the engine ceiling).  Corner tiles keep the combine cost
+            # nil; slicing cannot narrow an opaque Pallas producer.
+            return (dq[0, :8, :8].astype(jnp.float32)
+                    + dk[0, :8, :8] + dv[0, :8, :8])
 
         fn = jax.jit(pair)
         return time_fn(fn, [(q, k, v, do, lse, delta)], iters=iters,

@@ -14,9 +14,12 @@ Leg derivation (per (b, i) q-tile, summed over the grid):
 * **VPU**: the softmax chain costs ~``K_SOFTMAX`` elementwise-op slots
   per score element (exp ≈ several slots on the transcendental path,
   plus the max/sum fold trees and the p-cast).  Calibrated against the
-  two committed capture families (docs/BENCHMARKS.md): the
-  single-kv-block shape implies ~6.6 slots, the long-S streaming shape
-  ~4.7; the shipped 5.5 puts both within ±6% of measured.
+  two committed capture families (docs/BENCHMARKS.md, round-5 kernels
+  with the in-kernel scale fold): the S=1024 single-kv-block shape
+  implies ~1.6 slots, the S=8192 streaming shape ~2.0; the shipped 1.8
+  puts both within ±2% of measured.  (The pre-round-5 value 5.5 was
+  absorbing the since-removed external q·scale HBM pass — Mosaic
+  overlaps most of the true softmax chain against the MXU dots.)
 * **HBM**: Q, K, V read once, O written once — the O(S·D) traffic that
   defines flash attention; the probability matrix never contributes.
 * **Latch**: one Mosaic scheduling latch per grid step
@@ -39,8 +42,9 @@ from typing import Optional
 from gemm_hls_tpu.models.perf_model import ChipSpec, detect_chip
 
 # VPU elementwise-op slots consumed per score element by the softmax
-# chain (exp + max/sum folds + rescale + cast), calibrated on v5e.
-K_SOFTMAX = 5.5
+# chain (exp + max/sum folds + rescale + cast) BEYOND what Mosaic
+# overlaps against the MXU dots, calibrated on v5e (round-5 kernels).
+K_SOFTMAX = 1.8
 
 
 def attention_specifications(

@@ -688,12 +688,13 @@ def flash_mha(q, k, v, kv_lengths=None, q_segment_ids=None,
         while bq1 % wq:
             wq -= 8
         n_bodies = (s_kv // max(w, 1)) * (bq1 // max(wq, 1))
-        # <= 64 unrolled cond bodies is the measured-compiling envelope
-        # (S=4096 @ 512x512 works and wins at 151 TF; S=8192's 256
-        # bodies exhaust Mosaic resources) — past it the triangular
-        # streamed grid takes over.
+        # <= 64 unrolled cond bodies AND S_kv <= 4096 is the measured
+        # -compiling envelope (S=4096 @ 512x512 works and wins at
+        # 150-171 TF; S=8192 exhausts Mosaic resources even at 64
+        # bodies of 1024x1024) — past it the triangular streamed grid
+        # takes over.
         if (w and resident <= 0.7 * cfg.vmem_limit_bytes
-                and n_bodies <= 64):
+                and n_bodies <= 64 and s_kv <= 4096):
             block_q = bq1
             n_q = pl.cdiv(s_q, block_q)
             kernel = functools.partial(
@@ -1162,6 +1163,144 @@ def _flash_bwd_dkv_kernel(qs_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             dv_ref[0] = dv_acc[:].astype(out_dtype)
 
 
+def _flash_bwd_dq_tri(tab_ref, qs_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, *refs, n_kv_grid, kv_rem, block_q,
+                      block_kv, precision, out_dtype, window=None,
+                      logit_cap=None, has_segids=False, scale=1.0):
+    """Causal dq on the FLATTENED live-block grid (q-major table).
+
+    Same lever as the forward's triangular kernel: the rectangular
+    grid's ``pl.when(live)`` predication still schedules dead blocks'
+    DMA and pays their grid latch, which capped causal backward at
+    47-69%% of the full-mask backward rate (autotune captures); here
+    dead (q-tile, kv-tile) pairs never enter the grid.  Interior
+    blocks additionally run the recompute UNMASKED (no iota/compare/
+    select on the (bq, bkv) tile) — the table's edge flag marks the
+    diagonal/window/kv-overhang stragglers.  Reference analogue: loop
+    bounds instead of masked full loops (``kernel/Compute.cpp:112-137``).
+    """
+    if has_segids:
+        qseg_ref, kvseg_ref, dq_ref, acc_ref = refs
+    else:
+        dq_ref, acc_ref = refs
+    t = pl.program_id(1)
+    i = tab_ref[0, t]
+    j = tab_ref[1, t]
+    row_start = (t == 0) | (tab_ref[0, jnp.maximum(t - 1, 0)] != i)
+    row_end = tab_ref[0, t + 1] != i
+    edge = tab_ref[2, t] != 0
+
+    @pl.when(row_start)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def step(mask_block):
+        _, ds, kz, _ = _recompute_p_ds(
+            qs_ref[0], k_ref[0], v_ref[0], do_ref[0].astype(jnp.float32),
+            lse_ref[0], delta_ref[0], j=j, i=i, n_kv_grid=n_kv_grid,
+            kv_rem=kv_rem if mask_block else 0,
+            block_q=block_q, block_kv=block_kv,
+            causal=mask_block, precision=precision, window=window,
+            logit_cap=logit_cap,
+            qseg=qseg_ref[0] if has_segids else None,
+            kvseg=kvseg_ref[0] if has_segids else None,
+            scale=scale)
+        contrib = jax.lax.dot_general(
+            ds.astype(kz.dtype), kz,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        if scale != 1.0:
+            contrib = contrib * scale
+        acc_ref[:] += contrib
+
+    @pl.when(edge)
+    def _edge():
+        step(True)
+
+    @pl.when(jnp.logical_not(edge))
+    def _interior():
+        step(False)
+
+    @pl.when(row_end)
+    def _store():
+        dq_ref[0] = acc_ref[:].astype(out_dtype)
+
+
+def _flash_bwd_dkv_tri(tab_ref, qs_ref, k_ref, v_ref, do_ref, lse_ref,
+                       delta_ref, *refs, n_q_grid, n_kv_grid, q_rem,
+                       kv_rem, block_q, block_kv, precision, out_dtype,
+                       logit_cap=None, has_segids=False, scale=1.0):
+    """Causal (dk, dv) on the flattened live grid (kv-major table):
+    kv tile stationary, live q tiles streamed.  Pure causal only (a
+    sliding window can leave kv columns with NO live q tile, whose
+    dk/dv blocks the table would never visit/zero — those stay on the
+    rectangular grid)."""
+    if has_segids:
+        qseg_ref, kvseg_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+    else:
+        dk_ref, dv_ref, dk_acc, dv_acc = refs
+    t = pl.program_id(1)
+    j = tab_ref[0, t]                      # stationary kv tile
+    i = tab_ref[1, t]                      # streamed q tile
+    col_start = (t == 0) | (tab_ref[0, jnp.maximum(t - 1, 0)] != j)
+    col_end = tab_ref[0, t + 1] != j
+    edge = tab_ref[2, t] != 0
+
+    @pl.when(col_start)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def step(mask_block):
+        qs = qs_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        p, ds, _, _ = _recompute_p_ds(
+            qs, k_ref[0], v_ref[0], do, lse_ref[0], delta_ref[0],
+            j=j, i=i, n_kv_grid=n_kv_grid,
+            kv_rem=kv_rem if mask_block else 0,
+            block_q=block_q, block_kv=block_kv,
+            causal=mask_block, precision=precision,
+            logit_cap=logit_cap,
+            qseg=qseg_ref[0] if has_segids else None,
+            kvseg=kvseg_ref[0] if has_segids else None,
+            scale=scale)
+        if q_rem:
+            # q overhang: the last q tile's stale rows feed the over-q
+            # contractions (see the rectangular kernel's rule).
+            limit = jnp.where(i == n_q_grid - 1, q_rem, block_q)
+            row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+            keep = row < limit
+            p = jnp.where(keep, p, 0.0)
+            ds = jnp.where(keep, ds, 0.0)
+            qs = _zero_rows(qs, limit)
+            do = _zero_rows(do, limit)
+        dv_c = jax.lax.dot_general(
+            p.astype(do_ref.dtype), do.astype(do_ref.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        dk_c = jax.lax.dot_general(
+            ds.astype(qs.dtype), qs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        if scale != 1.0:
+            dk_c = dk_c * scale
+        dk_acc[:] += dk_c
+        dv_acc[:] += dv_c
+
+    @pl.when(edge)
+    def _edge():
+        step(True)
+
+    @pl.when(jnp.logical_not(edge))
+    def _interior():
+        step(False)
+
+    @pl.when(col_end)
+    def _store():
+        dk_ref[0] = dk_acc[:].astype(out_dtype)
+        dv_ref[0] = dv_acc[:].astype(out_dtype)
+
+
 def _bwd_common(q, k, v, cfg, block_q, block_kv):
     bsz, s_q, d = q.shape
     s_kv = k.shape[1]
@@ -1192,6 +1331,67 @@ def flash_mha_bwd_dq(qs, k, v, do, lse, delta, q_segment_ids=None,
         qs, k, v, cfg, block_q, block_kv)
     n_q = pl.cdiv(s_q, block_q)
     n_kv = pl.cdiv(s_kv, block_kv)
+
+    # Static causal: flatten the live (q-tile, kv-tile) pairs into one
+    # grid axis (the forward's triangular lever) — dead blocks never
+    # DMA or latch.  Offsets make the live set value-dependent and keep
+    # the rectangular grid.
+    if causal and offsets is None and n_kv > 1:
+        tabs = _tri_tables(n_q, n_kv, block_q, block_kv, window,
+                           s_kv % block_kv)
+        n_t = tabs.shape[1] - 1
+        kernel = functools.partial(
+            _flash_bwd_dq_tri,
+            n_kv_grid=n_kv, kv_rem=s_kv % block_kv,
+            block_q=block_q, block_kv=block_kv,
+            precision=_resolve_precision(cfg), out_dtype=qs.dtype,
+            window=window, logit_cap=logit_cap,
+            has_segids=q_segment_ids is not None, scale=scale)
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=cfg.vmem_limit_bytes)
+            kwargs["cost_estimate"] = pl.CostEstimate(
+                flops=6 * bsz * n_t * block_q * block_kv * d,
+                bytes_accessed=(qs.size + k.size + v.size + do.size)
+                * qs.dtype.itemsize + qs.size * qs.dtype.itemsize,
+                transcendentals=bsz * n_t * block_q * block_kv)
+        qi = lambda b, t, tab: (b, tab[0, t], 0)                 # noqa: E731
+        kvi = lambda b, t, tab, g=group: (b // g, tab[1, t], 0)  # noqa: E731
+        in_specs = [
+            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), kvi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+        ]
+        operands = [qs, k, v, do, lse, delta]
+        if q_segment_ids is not None:
+            in_specs.append(pl.BlockSpec((1, block_q, 1), qi,
+                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(
+                (1, 1, block_kv),
+                lambda b, t, tab, g=group: (b // g, 0, tab[1, t]),
+                memory_space=pltpu.VMEM))
+            operands.extend((q_segment_ids, kv_segment_ids))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, n_t),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, block_q, d), qi,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(qs.shape, qs.dtype),
+            interpret=interpret,
+            name=f"flash_bwd_dq_tri_{block_q}x{block_kv}x{d}",
+            **kwargs,
+        )(jnp.asarray(tabs), *operands)
 
     kernel = functools.partial(
         _flash_bwd_dq_kernel,
@@ -1262,6 +1462,71 @@ def flash_mha_bwd_dkv(qs, k, v, do, lse, delta, q_segment_ids=None,
         qs, k, v, cfg, block_q, block_kv)
     n_q = pl.cdiv(s_q, block_q)
     n_kv = pl.cdiv(s_kv, block_kv)
+
+    # Static pure-causal: flattened kv-major live grid (see
+    # _flash_bwd_dkv_tri).  A window can leave kv columns with no live
+    # q tile (their dk/dv must come back zero) — rectangular grid then.
+    if causal and offsets is None and window is None and n_q > 1:
+        tabs = _tri_tables(n_q, n_kv, block_q, block_kv, None,
+                           s_kv % block_kv, order="kvmajor")
+        n_t = tabs.shape[1] - 1
+        kernel = functools.partial(
+            _flash_bwd_dkv_tri,
+            n_q_grid=n_q, n_kv_grid=n_kv,
+            q_rem=s_q % block_q, kv_rem=s_kv % block_kv,
+            block_q=block_q, block_kv=block_kv,
+            precision=_resolve_precision(cfg), out_dtype=k.dtype,
+            logit_cap=logit_cap,
+            has_segids=q_segment_ids is not None, scale=scale)
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=cfg.vmem_limit_bytes)
+            kwargs["cost_estimate"] = pl.CostEstimate(
+                flops=8 * bsz * n_t * block_q * block_kv * d,
+                bytes_accessed=(qs.size + k.size + v.size + do.size)
+                * qs.dtype.itemsize + 2 * k.size * k.dtype.itemsize,
+                transcendentals=bsz * n_t * block_q * block_kv)
+        qi = lambda b, t, tab: (b, tab[1, t], 0)                 # noqa: E731
+        kvin = lambda b, t, tab, g=group: (b // g, tab[0, t], 0)  # noqa: E731
+        kvout = lambda b, t, tab: (b, tab[0, t], 0)              # noqa: E731
+        in_specs = [
+            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), kvin, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, d), kvin, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qi, memory_space=pltpu.VMEM),
+        ]
+        operands = [qs, k, v, do, lse, delta]
+        if q_segment_ids is not None:
+            in_specs.append(pl.BlockSpec((1, block_q, 1), qi,
+                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(
+                (1, 1, block_kv),
+                lambda b, t, tab, g=group: (b // g, 0, tab[0, t]),
+                memory_space=pltpu.VMEM))
+            operands.extend((q_segment_ids, kv_segment_ids))
+        kv_out_spec = pl.BlockSpec((1, block_kv, d), kvout,
+                                   memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, n_t),
+            in_specs=in_specs,
+            out_specs=(kv_out_spec, kv_out_spec),
+            scratch_shapes=[pltpu.VMEM((block_kv, d), jnp.float32),
+                            pltpu.VMEM((block_kv, d), jnp.float32)],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((bsz, s_kv, d), k.dtype),
+                       jax.ShapeDtypeStruct((bsz, s_kv, d), v.dtype)),
+            interpret=interpret,
+            name=f"flash_bwd_dkv_tri_{block_q}x{block_kv}x{d}",
+            **kwargs,
+        )(jnp.asarray(tabs), *operands)
 
     kernel = functools.partial(
         _flash_bwd_dkv_kernel,

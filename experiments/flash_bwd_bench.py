@@ -102,9 +102,9 @@ def main():
     if not args.skip_step:
         # Full train step (value+grad of sum(o^2)) vs XLA composition.
         def fr(q, k, v):
-            return jnp.sum(flash_attention(q, k, v, causal=causal,
-                                           scale=float(scale)) ** 2
-                           .astype(jnp.float32))
+            o = flash_attention(q, k, v, causal=causal,
+                                scale=float(scale)).astype(jnp.float32)
+            return jnp.sum(o ** 2)
 
         def xr(q, k, v):
             s = (q.astype(jnp.float32) @ k.astype(jnp.float32)

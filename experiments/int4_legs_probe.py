@@ -25,8 +25,11 @@ Usage: PYTHONPATH=/root/repo:$PYTHONPATH python experiments/int4_legs_probe.py
 
 import functools
 import statistics
+import sys
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():
@@ -92,6 +95,22 @@ def main():
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 contrib = contrib * s_ref[0]
+            elif mode == "bf16fold":
+                # Fold in bf16: int32->bf16 cast + bf16 mul = two VPU
+                # passes over the weight tile instead of the shipping
+                # three (f32 cast, f32 mul, bf16 cast).  Costs one
+                # bf16 rounding of s (~2^-8 rel, far under the int4
+                # quantization error).
+                w3 = jnp.concatenate(
+                    [lo.reshape(gpb, half, bn_l),
+                     hi.reshape(gpb, half, bn_l)], axis=1)
+                wf = (w3.astype(jnp.bfloat16)
+                      * s_ref[:].astype(jnp.bfloat16)).reshape(
+                    gpb * group, bn_l)
+                contrib = jax.lax.dot_general(
+                    x_ref[:], wf,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             else:                          # shipping
                 w3 = jnp.concatenate(
                     [lo.reshape(gpb, half, bn_l),
@@ -149,16 +168,29 @@ def main():
         return run
 
     flops = 2.0 * m * n * k
-    iters = 60
-    modes = ["control", "unpack", "fulldot", "shipping"]
+    # ~54 us/call kernels: integrate >= 1000 calls per reading so the
+    # fixed ~15 ms transport subtraction is <2% of the signal (the
+    # quant_bench protocol); retry readings above the weight-DMA
+    # ceiling band (transport hiccups read impossibly fast).
+    iters = 1000
+    ceiling = 200.0
+    modes = ["control", "unpack", "fulldot", "bf16fold", "shipping"]
     fns = {mode: make(mode) for mode in modes}
     for mode, fn in fns.items():
         fn(x, wqj, sj).block_until_ready()     # compile before timing
     res = {mode: [] for mode in modes}
     for r in range(5):
         for mode, fn in fns.items():
-            t = time_fn(fn, [(x, wqj, sj)], iters=iters, warmup=1)
-            res[mode].append(flops / t / 1e12)
+            for _ in range(3):
+                t = time_fn(fn, [(x, wqj, sj)], iters=iters, warmup=1)
+                if flops / t / 1e12 <= ceiling:
+                    break
+            tf = flops / t / 1e12
+            if tf <= ceiling:
+                res[mode].append(tf)
+    for mode in modes:
+        if not res[mode]:
+            raise RuntimeError(f"no reliable readings for {mode}")
     prev = None
     for mode in modes:
         tf = statistics.median(res[mode])

@@ -46,6 +46,15 @@ from gemm_hls_tpu.models.perf_model import ChipSpec, detect_chip
 # overlaps against the MXU dots, calibrated on v5e (round-5 kernels).
 K_SOFTMAX = 1.8
 
+# Same convention for the two backward kernels' recompute chains
+# (exp + the ds = p∘(dp−δ) arithmetic + operand casts), calibrated on
+# the round-5 v5e captures (artifacts/flash_bwd_v5e.csv): the dq kernel
+# overlaps nearly all of it against its 3 dots; the dkv kernel pays
+# more VPU (the p→bf16 cast feeding the dv dot and the ds^T staging
+# both sit on the store path of its 4 dots).
+K_SOFTMAX_DQ = 0.3
+K_SOFTMAX_DKV = 2.0
+
 
 def attention_specifications(
         batch: int, s_q: int, s_kv: int, d: int, *,
@@ -119,4 +128,84 @@ def attention_specifications(
                   "memory" if t_hbm > t_mxu + t_vpu else
                   "vpu" if t_vpu > t_mxu else "mxu"),
         "probability_bytes_saved": 2 * batch * s_q * s_kv * in_b,
+    }
+
+
+def attention_bwd_specifications(
+        batch: int, s_q: int, s_kv: int, d: int, *, kernel: str = "dq",
+        causal: bool = False, dtype: str = "bfloat16",
+        block_q: int = 512, block_kv: int = 2048,
+        chip: Optional[ChipSpec] = None) -> dict:
+    """Closed-form legs for one flash BACKWARD kernel (``dq`` or ``dkv``).
+
+    The ``PrintSpecifications`` expected-vs-ideal treatment
+    (``src/PrintSpecifications.cpp:45-60``) applied to the gradient
+    kernels: ``dq`` recomputes scores, forms ds, and contracts ds·k —
+    3 MXU contractions over the live score area; ``dkv`` recomputes
+    p and ds and contracts p^T·do and ds^T·q — 4.  TF-eff quoted by
+    the bench (``experiments/flash_bwd_bench.py``) is
+    ``n_contractions · live-area-FLOPs / t``, so ``expected_tflops``
+    here is directly comparable.  Causal uses the flattened live-block
+    tables (``ops/pallas_flash._tri_tables``), so dead blocks
+    contribute neither MXU time nor grid latch.
+    """
+    import jax.numpy as jnp
+
+    chip = chip or detect_chip()
+    block_q = min(block_q, s_q)
+    block_kv = min(block_kv, s_kv)
+    n_q = math.ceil(s_q / block_q)
+    n_kv = math.ceil(s_kv / block_kv)
+    if kernel not in ("dq", "dkv"):
+        raise ValueError(f"kernel must be dq|dkv, got {kernel!r}")
+    n_con = 3 if kernel == "dq" else 4
+    k_vpu = K_SOFTMAX_DQ if kernel == "dq" else K_SOFTMAX_DKV
+
+    if causal:
+        live_steps = sum(
+            max(0, min(n_kv, math.ceil(min((i + 1) * block_q, s_kv)
+                                       / block_kv)))
+            for i in range(n_q))
+    else:
+        live_steps = n_q * n_kv
+    live_frac = live_steps / (n_q * n_kv)
+    total_steps = batch * live_steps          # tri grid: only live latch
+
+    area = 2.0 * batch * s_q * s_kv * d
+    flops_live = n_con * area * live_frac
+    scores_live = batch * s_q * s_kv * live_frac
+
+    in_b = jnp.dtype(dtype).itemsize
+    reads = (2 * batch * s_q * d + 2 * batch * s_kv * d) * in_b \
+        + 2 * batch * s_q * 4                 # q,do + k,v + lse,delta(f32)
+    writes = (batch * s_q * d if kernel == "dq"
+              else 2 * batch * s_kv * d) * in_b
+    hbm_bytes = reads + writes
+    mxu_rate = chip.peak_for(dtype)
+
+    t_mxu = flops_live / mxu_rate
+    t_vpu = scores_live * k_vpu / chip.vpu_ops
+    t_hbm = hbm_bytes / chip.hbm_bandwidth
+    t_latch = total_steps * chip.grid_step_overhead_s
+    t_expected = max(t_mxu + t_vpu, t_hbm) + t_latch
+
+    flops_counted = n_con * area / (2 if causal else 1)
+    return {
+        "chip": chip.name,
+        "problem": (batch, s_q, s_kv, d),
+        "kernel": kernel,
+        "contractions": n_con,
+        "blocks": (block_q, block_kv),
+        "causal": causal,
+        "live_fraction": live_frac,
+        "flops": flops_counted,
+        "mxu_s": t_mxu,
+        "vpu_recompute_s": t_vpu,
+        "hbm_s": t_hbm,
+        "latch_s": t_latch,
+        "expected_runtime_s": t_expected,
+        "expected_tflops": flops_counted / t_expected / 1e12,
+        "bound": ("latch" if t_latch > max(t_mxu + t_vpu, t_hbm) else
+                  "memory" if t_hbm > t_mxu + t_vpu else
+                  "vpu" if t_vpu > t_mxu else "mxu"),
     }
